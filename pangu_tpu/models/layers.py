@@ -1,0 +1,349 @@
+"""Pure-function layers of the TPU-native Pangu-Weather model.
+
+Everything here is a function over a params pytree — no modules, no state.
+Activations live in channels-last ``(B, Z, H, W, C)`` token grids (the
+layout XLA tiles best on TPU), not the reference's flat token sequences.
+
+Semantics are bit-matched to the reference PyTorch implementation
+(/root/reference/models/layers.py), with file:line cites at each function,
+but the realisation is TPU-first:
+
+  * patch embed / recovery are dense matmuls over pre-gathered patch
+    features (the reference's im2col + Conv1d k=1, models/layers.py:17-18,
+    is mathematically a dense layer — on TPU we feed the MXU directly);
+  * the shifted-window mask and drop-path schedule are trace-time numpy
+    constants (static shapes), so there is exactly one compiled program
+    per (stage, roll) variant — no data-dependent control flow;
+  * softmax/LayerNorm accumulate in fp32 while params/activations may be
+    bf16;
+  * longitude roll is ``jnp.roll`` which XLA lowers to a collective
+    permute when the lon axis is sharded over the mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pangu_tpu.config import ModelConfig, StageGeometry
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops
+# ---------------------------------------------------------------------------
+
+def dense(p, x, precision=None):
+    """y = x @ kernel (+ bias). Kernel layout is (in, out) — the ONNX MatMul
+    layout, so converted weights load without transposition."""
+    y = jnp.dot(x, p["kernel"].astype(x.dtype), precision=precision)
+    if "bias" in p:
+        y = y + p["bias"].astype(x.dtype)
+    return y
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    """LayerNorm over the trailing channel dim; fp32 statistics regardless of
+    activation dtype (torch nn.LayerNorm default eps, models/layers.py:141)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def mlp(p, x, precision=None):
+    """Linear(dim,4dim) -> exact GELU -> Linear(4dim,dim)
+    (models/layers.py:255-270; torch nn.GELU is the erf variant, hence
+    approximate=False)."""
+    h = dense(p["fc1"], x, precision)
+    h = jax.nn.gelu(h, approximate=False)
+    return dense(p["fc2"], h, precision)
+
+
+def drop_path(x, rate: float, rng: Optional[jax.Array], deterministic: bool):
+    """Stochastic depth on the residual branch (timm DropPath semantics,
+    models/layers.py:140): per-sample Bernoulli, rescaled by keep prob."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape=shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+# ---------------------------------------------------------------------------
+# Patch embedding  (reference: PatchEmbedding_pretrain, models/layers.py:12-93)
+# ---------------------------------------------------------------------------
+
+def patch_embed(p, upper, surface, constants, cfg: ModelConfig,
+                precision=None):
+    """Embed the raw ERA5 state into the (B, Z, H, W, C) token grid.
+
+    upper:   (B, 5, levels, lat, lon) raw physical units
+    surface: (B, 4, lat, lon)
+    constants: dict with
+        upper_mean/upper_std:     (5, levels, 1, 1)  canonical level order
+        surface_mean/surface_std: (4, 1, 1)
+        surface_masks:            (3, lat_padded, lon)  pre-padded constant maps
+        const_h:                  (levels, lat, lon)    ONNX Constant_17 plane
+
+    Replicates models/layers.py:40-93: normalisation happens *inside* the
+    model; the reference's double level-flip around normalisation
+    (layers.py:73,76) cancels on the data and only reorders the statistics,
+    which our constants loader already stores in canonical order
+    (see pangu_tpu/data/constants.py).
+    """
+    B = upper.shape[0]
+    pz, ph, pw = cfg.patch
+    dtype = upper.dtype
+
+    # ---- upper-air branch ------------------------------------------------
+    um = constants["upper_mean"].astype(dtype)
+    us = constants["upper_std"].astype(dtype)
+    up = (upper - um[None]) / us[None]
+    const_h = jnp.broadcast_to(
+        constants["const_h"].astype(dtype)[None, None],
+        (B, 1, cfg.levels, cfg.lat, cfg.lon))
+    up = jnp.concatenate([up, const_h], axis=1)          # (B, 6, L, lat, lon)
+    up = jnp.pad(up, ((0, 0), (0, 0),
+                      (0, cfg.levels_padded - cfg.levels),
+                      (0, cfg.lat_padded - cfg.lat), (0, 0)))
+    # patchify with feature order (var, z_off, h_off, w_off) — matches the
+    # Conv1d in-channel layout of the pretrained weights (layers.py:82-85)
+    V1 = cfg.upper_vars + 1
+    up = up.reshape(B, V1, cfg.upper_planes, pz, cfg.h_tokens, ph,
+                    cfg.w_tokens, pw)
+    up = up.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    up = up.reshape(B, cfg.upper_planes, cfg.h_tokens, cfg.w_tokens,
+                    V1 * pz * ph * pw)
+    xu = dense(p["upper"], up, precision)                # (B, ZP, H, W, C)
+
+    # ---- surface branch --------------------------------------------------
+    sm = constants["surface_mean"].astype(dtype)
+    ss = constants["surface_std"].astype(dtype)
+    sf = (surface - sm[None]) / ss[None]
+    sf = jnp.pad(sf, ((0, 0), (0, 0),
+                      (0, cfg.lat_padded - cfg.lat), (0, 0)))
+    masks = jnp.broadcast_to(
+        constants["surface_masks"].astype(dtype)[None],
+        (B, cfg.const_masks, cfg.lat_padded, cfg.lon))
+    sf = jnp.concatenate([sf, masks], axis=1)            # (B, 7, latp, lon)
+    SM = cfg.surface_vars + cfg.const_masks
+    sf = sf.reshape(B, SM, cfg.h_tokens, ph, cfg.w_tokens, pw)
+    sf = sf.transpose(0, 2, 4, 1, 3, 5)
+    sf = sf.reshape(B, cfg.h_tokens, cfg.w_tokens, SM * ph * pw)
+    xs = dense(p["surface"], sf, precision)[:, None]     # (B, 1, H, W, C)
+
+    # surface plane is token plane 0, upper planes follow (layers.py:89)
+    return jnp.concatenate([xs, xu], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Window partition / reverse
+# ---------------------------------------------------------------------------
+
+def window_partition(x, window: Tuple[int, int, int]):
+    """(B, Z, Hp, W, C) -> (B, nlon, ntype, wz*wh*ww, C).
+
+    Axis order matches the reference partition (models/layers.py:216-221):
+    longitude windows outermost, window "type" = zw * nlat_windows + hw,
+    token index = ((z_off * wh) + h_off) * ww + w_off.
+    """
+    B, Z, Hp, W, C = x.shape
+    wz, wh, ww = window
+    x = x.reshape(B, Z // wz, wz, Hp // wh, wh, W // ww, ww, C)
+    x = x.transpose(0, 5, 1, 3, 2, 4, 6, 7)
+    return x.reshape(B, W // ww, (Z // wz) * (Hp // wh), wz * wh * ww, C)
+
+
+def window_reverse(x, window: Tuple[int, int, int], z: int, hp: int, w: int):
+    """Inverse of window_partition (models/layers.py:227-232)."""
+    B = x.shape[0]
+    C = x.shape[-1]
+    wz, wh, ww = window
+    x = x.reshape(B, w // ww, z // wz, hp // wh, wz, wh, ww, C)
+    x = x.transpose(0, 2, 4, 3, 5, 1, 6, 7)
+    return x.reshape(B, z, hp, w, C)
+
+
+# ---------------------------------------------------------------------------
+# Shifted-window attention mask  (reference: gen_mask, models/layers.py:153-181)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(z: int, hp: int,
+                        window: Tuple[int, int, int]) -> np.ndarray:
+    """Additive attention mask (ntype, N, N) float32 with 0 / -100 entries.
+
+    Built once per (geometry, window) at trace time with the reference's
+    exact region-assignment order — including its overlapping h-slice writes
+    (models/layers.py:159-167), which the pretrained weights were trained
+    against. Longitude needs no masking: the roll wraps periodically, which
+    is physically exact on a sphere (models/layers.py:199-201), so the mask
+    is identical for every longitude window and we store a single copy.
+    """
+    wz, wh, ww = window
+    img = np.zeros((z, hp, 1), dtype=np.float32)
+    cnt = 0
+    z_slices = (slice(0, -wz), slice(-wz, -wz // 2), slice(-wz // 2, None))
+    h_slices = (slice(0, -wh), slice(wh, -wh // 2), slice(-wh // 2, None))
+    for zs in z_slices:
+        for hs in h_slices:
+            img[zs, hs, :] = cnt
+            cnt += 1
+    # (Zw, wz, Hw, wh) -> (ntype, wz*wh)
+    img = img[:, :, 0].reshape(z // wz, wz, hp // wh, wh)
+    img = img.transpose(0, 2, 1, 3).reshape(-1, wz * wh)
+    # expand over the (unmasked) longitude window dimension
+    m = np.repeat(img[:, :, None], ww, axis=2).reshape(-1, wz * wh * ww)
+    diff = m[:, None, :] - m[:, :, None]
+    return np.where(diff != 0, np.float32(-100.0), np.float32(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Earth-specific windowed attention
+# (reference: EarthAttention3D, models/layers.py:272-421)
+# ---------------------------------------------------------------------------
+
+def earth_attention(p, x, heads: int, mask: Optional[jax.Array],
+                    precision=None):
+    """Windowed MHSA with the earth-specific per-window-type bias.
+
+    x: (B, nlon, ntype, N, C). The full learnable bias table
+    (ntype, heads, N, N) is added per (Z, lat) window position and shared
+    across longitude — the layout the official ONNX weights use
+    (models/layers.py:306-311,392-395).
+    """
+    B, nlon, ntype, N, C = x.shape
+    hd = C // heads
+    scale = hd ** -0.5
+
+    qkv = dense(p["qkv"], x, precision)
+    qkv = qkv.reshape(B, nlon, ntype, N, 3, heads, hd)
+    qkv = qkv.transpose(4, 0, 1, 2, 5, 3, 6)   # (3, B, nlon, ntype, heads, N, hd)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    attn = jnp.einsum("...qd,...kd->...qk", q * scale, k,
+                      precision=precision,
+                      preferred_element_type=jnp.float32)
+    attn = attn + p["bias_table"].astype(jnp.float32)[None, None]
+    if mask is not None:
+        attn = attn + mask[None, None, :, None]
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+    out = jnp.einsum("...qk,...kd->...qd", attn, v, precision=precision)
+    out = out.transpose(0, 1, 2, 4, 3, 5).reshape(B, nlon, ntype, N, C)
+    return dense(p["proj"], out, precision)
+
+
+# ---------------------------------------------------------------------------
+# Earth-specific transformer block
+# (reference: EarthSpecificBlock, models/layers.py:127-253)
+# ---------------------------------------------------------------------------
+
+def earth_block(p, x, geom: StageGeometry, roll: bool, *,
+                drop_rate: float = 0.0, rng=None, deterministic: bool = True,
+                precision=None, attn_impl: str = "xla"):
+    """One 3D shifted-window transformer block on the (B, Z, H, W, C) grid.
+
+    Post-norm residuals exactly as the reference (models/layers.py:250-251):
+    ``x = shortcut + drop_path(norm1(attn(x)))`` then
+    ``x = x + drop_path(norm2(mlp(x)))`` — no pre-norm anywhere.
+    """
+    B, Z, H, W, C = x.shape
+    wz, wh, ww = geom.window
+    hp = geom.h_padded
+    shortcut = x
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
+    if roll:
+        xp = jnp.roll(xp, (-(wz // 2), -(wh // 2), -(ww // 2)), axis=(1, 2, 3))
+        mask = jnp.asarray(shifted_window_mask(Z, hp, geom.window))
+    else:
+        mask = None
+
+    win = window_partition(xp, geom.window)
+    if attn_impl == "pallas":
+        from pangu_tpu.ops.window_attention import window_attention_pallas
+        win = window_attention_pallas(p["attn"], win, geom.heads, mask)
+    else:
+        win = earth_attention(p["attn"], win, geom.heads, mask, precision)
+    xp = window_reverse(win, geom.window, Z, hp, W)
+
+    if roll:
+        xp = jnp.roll(xp, (wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
+    x = xp[:, :, :H]
+
+    r1, r2 = (None, None) if rng is None else tuple(jax.random.split(rng))
+    x = shortcut + drop_path(layer_norm(p["norm1"], x), drop_rate, r1,
+                             deterministic)
+    x = x + drop_path(layer_norm(p["norm2"], mlp(p["mlp"], x, precision)),
+                      drop_rate, r2, deterministic)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Down / up sampling  (reference: models/layers.py:423-499)
+# ---------------------------------------------------------------------------
+
+def down_sample(p, x, precision=None):
+    """2x2 space-to-depth on (H, W) + LayerNorm + Linear(4C -> 2C, no bias)
+    (models/layers.py:432-459; latitude is padded 181 -> 182 first)."""
+    B, Z, H, W, C = x.shape
+    h2, w2 = -(-H // 2), W // 2
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 2 * h2 - H), (0, 0), (0, 0)))
+    x = x.reshape(B, Z, h2, 2, w2, 2, C)
+    # merge order (h_off, w_off, C) — matches the reference permute
+    # (models/layers.py:449-451)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, Z, h2, w2, 4 * C)
+    x = layer_norm(p["norm"], x)
+    return dense(p["reduce"], x, precision)
+
+
+def up_sample(p, x, out_h: int, precision=None):
+    """Linear(2C -> 4C') + 2x2 depth-to-space + crop + LayerNorm +
+    Linear(C' -> C', no bias) (models/layers.py:474-499)."""
+    B, Z, H, W, C = x.shape
+    x = dense(p["expand"], x, precision)
+    c_out = x.shape[-1] // 4
+    x = x.reshape(B, Z, H, W, 2, 2, c_out)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, Z, 2 * H, 2 * W, c_out)
+    x = x[:, :, :out_h]
+    x = layer_norm(p["norm"], x)
+    return dense(p["mix"], x, precision)
+
+
+# ---------------------------------------------------------------------------
+# Patch recovery  (reference: PatchRecovery_pretrain, models/layers.py:501-545)
+# ---------------------------------------------------------------------------
+
+def patch_recovery(p, x, cfg: ModelConfig, precision=None):
+    """Token grid (B, Z, H, W, 2C) -> normalised output fields.
+
+    Returns (upper (B,5,levels,lat,lon), surface (B,4,lat,lon)); outputs stay
+    in normalised space — de-normalisation is the caller's job, exactly as
+    the reference (models/layers.py:531,542).
+    """
+    B = x.shape[0]
+    pz, ph, pw = cfg.patch
+    V, S = cfg.upper_vars, cfg.surface_vars
+    ZP, HT, WT = cfg.upper_planes, cfg.h_tokens, cfg.w_tokens
+
+    # upper: token planes 1..ZP; out features ordered (var, z_off, h_off, w_off)
+    # to match the pretrained Conv1d out-channel layout (layers.py:522-524)
+    up = dense(p["upper"], x[:, 1:], precision)          # (B, ZP, HT, WT, V*pz*ph*pw)
+    up = up.reshape(B, ZP, HT, WT, V, pz, ph, pw)
+    up = up.transpose(0, 4, 1, 5, 2, 6, 3, 7)
+    up = up.reshape(B, V, ZP * pz, HT * ph, WT * pw)
+    up = up[:, :, :cfg.levels, :cfg.lat, :]
+
+    sf = dense(p["surface"], x[:, 0], precision)         # (B, HT, WT, S*ph*pw)
+    sf = sf.reshape(B, HT, WT, S, ph, pw)
+    sf = sf.transpose(0, 3, 1, 4, 2, 5)
+    sf = sf.reshape(B, S, HT * ph, WT * pw)
+    sf = sf[:, :, :cfg.lat, :]
+    return up, sf

@@ -1,0 +1,177 @@
+"""Top-level Pangu-Weather model: parameter pytree init + pure forward.
+
+Reference: PanguModel (/root/reference/models/pangu_model.py:8-87) —
+embed -> enc(2 blocks @192) -> skip -> downsample -> enc(6 @384) ->
+dec(6 @384) -> upsample -> dec(2 @192) -> concat skip -> recover.
+
+TPU-native realisation: a single pure function over a nested-dict params
+pytree; per-block ``jax.checkpoint`` (rematerialisation) during training
+replaces torch.utils.checkpoint (models/pangu_model.py:30,
+models/layers.py:115-119); roll/no-roll alternation is a static Python
+flag per block index, so everything compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pangu_tpu.config import ModelConfig
+from pangu_tpu.models import layers as L
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialisation
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, dtype, std=0.02):
+    # timm trunc_normal_: N(0, std) truncated to +-2 std
+    # (models/pangu_model.py:41-48)
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32
+                                             ).astype(dtype)
+
+
+def _dense_params(key, d_in, d_out, dtype, bias=True):
+    p = {"kernel": _trunc_normal(key, (d_in, d_out), dtype)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _ln_params(dim, dtype):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def init_params(rng, cfg: ModelConfig):
+    """Initialise the full parameter pytree (trunc-normal dense kernels and
+    bias tables, zero biases, unit LayerNorm — models/pangu_model.py:41-48,
+    models/layers.py:313-314)."""
+    dtype = jnp.dtype(cfg.param_dtype)
+    keys = iter(jax.random.split(rng, 512))
+
+    params = {
+        "patch_embed": {
+            "upper": _dense_params(next(keys), cfg.upper_patch_features,
+                                   cfg.dims[0], dtype),
+            "surface": _dense_params(next(keys), cfg.surface_patch_features,
+                                     cfg.dims[0], dtype),
+        },
+        "stages": [],
+    }
+    for i in range(4):
+        geom = cfg.stage(i)
+        blocks = []
+        for _ in range(geom.depth):
+            n = geom.window_tokens
+            blocks.append({
+                "norm1": _ln_params(geom.dim, dtype),
+                "norm2": _ln_params(geom.dim, dtype),
+                "attn": {
+                    "qkv": _dense_params(next(keys), geom.dim, 3 * geom.dim,
+                                         dtype),
+                    "proj": _dense_params(next(keys), geom.dim, geom.dim,
+                                          dtype),
+                    "bias_table": _trunc_normal(
+                        next(keys),
+                        (geom.num_window_types, geom.heads, n, n), dtype),
+                },
+                "mlp": {
+                    "fc1": _dense_params(next(keys), geom.dim,
+                                         cfg.mlp_ratio * geom.dim, dtype),
+                    "fc2": _dense_params(next(keys), cfg.mlp_ratio * geom.dim,
+                                         geom.dim, dtype),
+                },
+            })
+        params["stages"].append({"blocks": blocks})
+
+    c0 = cfg.dims[0]
+    params["downsample"] = {
+        "norm": _ln_params(4 * c0, dtype),
+        "reduce": _dense_params(next(keys), 4 * c0, 2 * c0, dtype, bias=False),
+    }
+    params["upsample"] = {
+        "expand": _dense_params(next(keys), cfg.dims[2], 4 * cfg.dims[3],
+                                dtype, bias=False),
+        "norm": _ln_params(cfg.dims[3], dtype),
+        "mix": _dense_params(next(keys), cfg.dims[3], cfg.dims[3], dtype,
+                             bias=False),
+    }
+    pz, ph, pw = cfg.patch
+    params["patch_recovery"] = {
+        "upper": _dense_params(next(keys), 2 * cfg.dims[3],
+                               cfg.upper_vars * pz * ph * pw, dtype),
+        "surface": _dense_params(next(keys), 2 * cfg.dims[3],
+                                 cfg.surface_vars * ph * pw, dtype),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
+               rng, deterministic, precision):
+    """Apply one EarthSpecificLayer: blocks alternate roll=False/True by
+    block index (models/layers.py:110-125)."""
+    geom = cfg.stage(stage_idx)
+    rates = cfg.drop_path_rates()
+    offset = sum(cfg.depths[:stage_idx])
+
+    block_fn = functools.partial(
+        L.earth_block, geom=geom, precision=precision,
+        attn_impl=cfg.attn_impl)
+    if cfg.remat and not deterministic:
+        block_fn = jax.checkpoint(
+            block_fn, static_argnames=("roll", "drop_rate", "deterministic"))
+
+    for j, bp in enumerate(stage_params["blocks"]):
+        brng = None
+        if rng is not None:
+            rng, brng = jax.random.split(rng)
+        x = block_fn(bp, x, roll=(j % 2 == 1), drop_rate=rates[offset + j],
+                     rng=brng, deterministic=deterministic)
+    return x
+
+
+def forward(params, upper, surface, constants, cfg: ModelConfig, *,
+            rng: Optional[jax.Array] = None, deterministic: bool = True,
+            precision=None):
+    """Full forward step.
+
+    upper (B, 5, levels, lat, lon), surface (B, 4, lat, lon), raw physical
+    units in; *normalised* prediction out (models/pangu_model.py:50-87).
+    """
+    cdt = jnp.dtype(cfg.compute_dtype)
+    upper = upper.astype(cdt)
+    surface = surface.astype(cdt)
+
+    rngs = [None] * 4
+    if rng is not None and not deterministic:
+        rngs = list(jax.random.split(rng, 4))
+
+    x = L.patch_embed(params["patch_embed"], upper, surface, constants, cfg,
+                      precision)
+
+    x = _run_stage(params["stages"][0], x, cfg, 0, rng=rngs[0],
+                   deterministic=deterministic, precision=precision)
+    skip = x
+    x = L.down_sample(params["downsample"], x, precision)
+    x = _run_stage(params["stages"][1], x, cfg, 1, rng=rngs[1],
+                   deterministic=deterministic, precision=precision)
+    x = _run_stage(params["stages"][2], x, cfg, 2, rng=rngs[2],
+                   deterministic=deterministic, precision=precision)
+    x = L.up_sample(params["upsample"], x, cfg.h_tokens, precision)
+    x = _run_stage(params["stages"][3], x, cfg, 3, rng=rngs[3],
+                   deterministic=deterministic, precision=precision)
+
+    x = jnp.concatenate([skip, x], axis=-1)   # (B, Z, H, W, 2C)
+    return L.patch_recovery(params["patch_recovery"], x, cfg, precision)
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
