@@ -1,0 +1,117 @@
+"""Evaluation harness: per-timestamp lat-weighted RMSE/ACC sweep + CSVs.
+
+Replaces the reference test() loop (/root/reference/models/pangu_sample.py:
+179-276) and its CSV writer (era5_data/utils.py:169-194). The whole scoring
+block — forward, de-normalisation, per-variable/per-level RMSE, anomaly ACC
+— is one jitted program per sample; only the final scalar table comes back
+to the host. Emits the same 12 CSVs ({rmse,acc}_upper_{z,q,t,u,v},
+{rmse,acc}_surface) with timestamps as the index so results are directly
+comparable with the reference's published tables (fig/tab1.png, tab2.png).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pangu_tpu.config import Config, ModelConfig
+from pangu_tpu.data.constants import denorm_data
+from pangu_tpu.metrics.score import (weighted_acc_channels,
+                                     weighted_rmse_channels)
+from pangu_tpu.models import pangu
+from pangu_tpu.utils import viz
+
+
+def make_score_step(cfg: ModelConfig, constants,
+                    forward_fn: Callable = pangu.forward) -> Callable:
+    """(params, batch) -> dict of per-variable score vectors, fully on
+    device. Matches models/pangu_sample.py:229-270: RMSE on physical
+    fields, ACC on anomalies (climatological mean subtracted)."""
+
+    @jax.jit
+    def score_step(params, upper, surface, target_upper, target_surface):
+        out_u, out_s = forward_fn(params, upper, surface, constants, cfg,
+                                  deterministic=True)
+        out_u, out_s = denorm_data(out_u, out_s, constants)
+
+        # squeeze batch (eval batch size is 1, like the reference)
+        pu, ps = out_u[0], out_s[0]
+        tu, ts = target_upper[0], target_surface[0]
+
+        scores = {}
+        for i, var in enumerate(("z", "q", "t", "u", "v")[:cfg.upper_vars]):
+            scores[f"rmse_upper_{var}"] = weighted_rmse_channels(pu[i], tu[i])
+        scores["rmse_surface"] = weighted_rmse_channels(ps, ts)
+
+        um = constants["upper_mean"]
+        sm = constants["surface_mean"]
+        pu_a, tu_a = pu - um, tu - um
+        ps_a, ts_a = ps - sm, ts - sm
+        for i, var in enumerate(("z", "q", "t", "u", "v")[:cfg.upper_vars]):
+            scores[f"acc_upper_{var}"] = weighted_acc_channels(pu_a[i],
+                                                               tu_a[i])
+        scores["acc_surface"] = weighted_acc_channels(ps_a, ts_a)
+        return scores, (out_u, out_s)
+
+    return score_step
+
+
+def save_error_scores(csv_path: str, tables: Dict[str, Dict[str, np.ndarray]],
+                      levels: Iterable[str], surface_vars: Iterable[str]):
+    """Write the 12 {rmse,acc}_* CSVs (era5_data/utils.py:169-194):
+    rows = target timestamps, columns = pressure levels (upper) or surface
+    variable names."""
+    import pandas as pd
+    os.makedirs(csv_path, exist_ok=True)
+    for name, table in tables.items():
+        cols = list(surface_vars) if name.endswith("surface") else list(levels)
+        df = pd.DataFrame.from_dict(table, orient="index", columns=cols)
+        df.to_csv(os.path.join(csv_path, f"{name}.csv"))
+
+
+def evaluate(params, batches: Iterable, cfg: Config, constants, *,
+             res_path: str,
+             forward_fn: Callable = pangu.forward,
+             visualize: bool = True,
+             logger=None) -> Dict[str, Dict[str, np.ndarray]]:
+    """Full test sweep. ``batches`` yields dicts with upper/surface/
+    target_upper/target_surface (+ "times": (input_str, target_str)).
+    Returns {score_name: {target_time: vector}} and writes CSVs/PNGs."""
+    score_step = make_score_step(cfg.model, constants, forward_fn)
+
+    names = ([f"{e}_upper_{v}" for e in ("rmse", "acc")
+              for v in ("z", "q", "t", "u", "v")[:cfg.model.upper_vars]]
+             + ["rmse_surface", "acc_surface"])
+    tables: Dict[str, Dict[str, np.ndarray]] = {n: {} for n in names}
+
+    png_path = os.path.join(res_path, "png")
+    for i, batch in enumerate(batches):
+        scores, (out_u, out_s) = score_step(
+            params, batch["upper"], batch["surface"],
+            batch["target_upper"], batch["target_surface"])
+        target_time = batch.get("times", (str(i), str(i)))[1]
+        if logger is not None:
+            logger.info(f"predict on {i} -> {target_time}")
+        for name in names:
+            tables[name][target_time] = np.asarray(scores[name])
+
+        if visualize:
+            viz.mkdirs(png_path)
+            viz.plot_upper(np.asarray(out_u)[0],
+                           np.asarray(batch["target_upper"])[0],
+                           np.asarray(batch["upper"])[0],
+                           var="t", level_idx=min(2, cfg.model.levels - 1),
+                           step=target_time, path=png_path)
+            viz.plot_surface(np.asarray(out_s)[0],
+                             np.asarray(batch["target_surface"])[0],
+                             np.asarray(batch["surface"])[0],
+                             var="u10", step=target_time, path=png_path)
+
+    save_error_scores(os.path.join(res_path, "csv"), tables,
+                      levels=cfg.data.levels_hpa[:cfg.model.levels],
+                      surface_vars=cfg.data.surface_variables)
+    return tables

@@ -1,0 +1,215 @@
+"""Training engine: loss, optimizer, jitted train/eval steps, train loop.
+
+Replaces the reference's train() (/root/reference/models/pangu_sample.py:11-176)
+and its distributed scaffolding (era5_data/utils_dist.py) with:
+
+  * a single jitted train step — forward, weighted-L1 loss, grad, optax
+    update — compiled over the device mesh so the dp gradient all-reduce
+    is part of the program (the reference forgot to sync gradients at all,
+    SURVEY.md §2.4);
+  * torch-Adam-compatible optimizer: Adam(b1=.9, b2=.999, eps=1e-8) with
+    L2-into-gradient weight decay (torch's ``weight_decay`` semantics,
+    finetune/finetune_fully.py:121) and a MultiStep LR schedule
+    (x0.5 at epochs 25/50, finetune_fully.py:133);
+  * epoch-level orchestration with validation, early stopping after 5
+    non-improving validations and best-model tracking
+    (models/pangu_sample.py:160-173), checkpoint save/resume at *step*
+    granularity via orbax (the reference is epoch-granular only).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pangu_tpu.config import Config, ModelConfig, TrainConfig
+from pangu_tpu.data.constants import norm_data
+from pangu_tpu.models import pangu
+
+
+# ---------------------------------------------------------------------------
+# Loss  (reference: models/pangu_sample.py:61-67)
+# ---------------------------------------------------------------------------
+
+def weighted_l1_loss(out_upper, out_surface, tgt_upper, tgt_surface,
+                     tcfg: TrainConfig):
+    """mean(|err_upper| * w_var) + 0.25 * mean(|err_surface| * w_var),
+    targets already normalised. The weights multiply elementwise and the
+    mean runs over *all* elements (not a weighted average), exactly like
+    the reference."""
+    wu = jnp.asarray(tcfg.upper_weights, jnp.float32).reshape(1, -1, 1, 1, 1)
+    ws = jnp.asarray(tcfg.surface_weights, jnp.float32).reshape(1, -1, 1, 1)
+    lu = jnp.mean(jnp.abs(out_upper.astype(jnp.float32)
+                          - tgt_upper.astype(jnp.float32)) * wu)
+    ls = jnp.mean(jnp.abs(out_surface.astype(jnp.float32)
+                          - tgt_surface.astype(jnp.float32)) * ws)
+    return lu + tcfg.surface_loss_weight * ls, {"loss_upper": lu,
+                                                "loss_surface": ls}
+
+
+# ---------------------------------------------------------------------------
+# Optimizer
+# ---------------------------------------------------------------------------
+
+def lr_schedule(tcfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
+    """Piecewise-constant per-epoch MultiStep schedule expressed per step."""
+    boundaries = {m * steps_per_epoch: tcfg.lr_gamma
+                  for m in tcfg.lr_milestones}
+    return optax.piecewise_constant_schedule(tcfg.lr, boundaries)
+
+
+def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int = 1,
+                   trainable_mask: Any = None) -> optax.GradientTransformation:
+    """Adam with torch-style L2 weight decay folded into the gradient
+    *before* the moment updates (torch.optim.Adam semantics, not AdamW)."""
+    tx = optax.chain(
+        optax.add_decayed_weights(tcfg.weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(lr_schedule(tcfg, steps_per_epoch)),
+    )
+    if trainable_mask is not None:
+        tx = optax.masked(tx, trainable_mask)
+    return tx
+
+
+# ---------------------------------------------------------------------------
+# Train state + steps
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(params, tx) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, constants,
+                    tx: optax.GradientTransformation,
+                    forward_fn: Callable = pangu.forward) -> Callable:
+    """Build the pure train step: (state, batch, rng) -> (state, metrics).
+
+    ``batch`` is a dict with upper/surface/target_upper/target_surface in
+    raw physical units; target normalisation happens on device
+    (models/pangu_sample.py:57).
+    """
+
+    def loss_fn(params, batch, rng):
+        out_u, out_s = forward_fn(params, batch["upper"], batch["surface"],
+                                  constants, cfg, rng=rng,
+                                  deterministic=False)
+        tgt_u, tgt_s = norm_data(batch["target_upper"],
+                                 batch["target_surface"], constants)
+        return weighted_l1_loss(out_u, out_s, tgt_u, tgt_s, tcfg)
+
+    def train_step(state: TrainState, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, **aux,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: ModelConfig, tcfg: TrainConfig, constants,
+                   forward_fn: Callable = pangu.forward) -> Callable:
+    """Validation loss step (models/pangu_sample.py:102-130): deterministic
+    forward + the same weighted L1 against normalised targets."""
+
+    def eval_step(params, batch):
+        out_u, out_s = forward_fn(params, batch["upper"], batch["surface"],
+                                  constants, cfg, deterministic=True)
+        tgt_u, tgt_s = norm_data(batch["target_upper"],
+                                 batch["target_surface"], constants)
+        loss, aux = weighted_l1_loss(out_u, out_s, tgt_u, tgt_s, tcfg)
+        return {"loss": loss, **aux}
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# Training loop (epoch orchestration)
+# ---------------------------------------------------------------------------
+
+def train_loop(cfg: Config, state: TrainState, train_step, eval_step,
+               train_batches: Callable[[int], Iterable],
+               val_batches: Callable[[], Iterable], *,
+               rng: jax.Array,
+               start_epoch: int = 1,
+               checkpointer=None,
+               logger=None,
+               writer=None) -> Tuple[TrainState, Dict]:
+    """Epoch loop with validation, early stopping and best-model tracking
+    (models/pangu_sample.py:35-176). ``train_batches(epoch)`` /
+    ``val_batches()`` yield device-ready batch dicts."""
+    tcfg = cfg.train
+    best_loss = float("inf")
+    best_params = None
+    stale = 0
+    history = {"train_loss": [], "val_loss": []}
+
+    def log(msg):
+        if logger is not None:
+            logger.info(msg)
+
+    for epoch in range(start_epoch, tcfg.epochs + 1):
+        t0 = time.time()
+        epoch_loss, nb = 0.0, 0
+        for batch in train_batches(epoch):
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+            epoch_loss += float(metrics["loss"])
+            nb += 1
+        epoch_loss /= max(nb, 1)
+        history["train_loss"].append(epoch_loss)
+        log(f"Epoch {epoch} : {epoch_loss:.6f} "
+            f"({nb} steps, {time.time() - t0:.1f}s)")
+
+        if checkpointer is not None and epoch % tcfg.save_interval == 0:
+            checkpointer.save(state, epoch=epoch)
+
+        if epoch % tcfg.val_interval == 0:
+            val_loss, nv = 0.0, 0
+            for batch in val_batches():
+                m = eval_step(state.params, batch)
+                val_loss += float(m["loss"])
+                nv += 1
+            val_loss /= max(nv, 1)
+            history["val_loss"].append(val_loss)
+            log(f"Validate at Epoch {epoch} : {val_loss:.6f}")
+            if writer is not None:
+                writer.add_scalars("Loss", {"train": epoch_loss,
+                                            "val": val_loss}, epoch)
+
+            if val_loss < best_loss:
+                best_loss = val_loss
+                best_params = jax.tree.map(lambda x: x, state.params)
+                stale = 0
+                if checkpointer is not None:
+                    checkpointer.save_best(state)
+                log(f"current best model is saved at {epoch} epoch.")
+            else:
+                stale += 1
+                if stale >= tcfg.early_stop_patience:
+                    log(f"No improvement in validation loss for {stale} "
+                        "epochs, terminating training.")
+                    break
+
+    history["best_val_loss"] = best_loss
+    return dataclasses.replace(
+        state, params=best_params if best_params is not None else state.params
+    ), history

@@ -22,6 +22,7 @@ import numpy as np
 
 from pangu_tpu.config import ModelConfig
 from pangu_tpu.models import layers as L
+from pangu_tpu.parallel.sharding import shard_tokens
 
 
 # ---------------------------------------------------------------------------
@@ -156,16 +157,18 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
 
     x = L.patch_embed(params["patch_embed"], upper, surface, constants, cfg,
                       precision)
+    x = shard_tokens(x)
 
     x = _run_stage(params["stages"][0], x, cfg, 0, rng=rngs[0],
                    deterministic=deterministic, precision=precision)
     skip = x
-    x = L.down_sample(params["downsample"], x, precision)
+    x = shard_tokens(L.down_sample(params["downsample"], x, precision))
     x = _run_stage(params["stages"][1], x, cfg, 1, rng=rngs[1],
                    deterministic=deterministic, precision=precision)
     x = _run_stage(params["stages"][2], x, cfg, 2, rng=rngs[2],
                    deterministic=deterministic, precision=precision)
-    x = L.up_sample(params["upsample"], x, cfg.h_tokens, precision)
+    x = shard_tokens(L.up_sample(params["upsample"], x, cfg.h_tokens,
+                                 precision))
     x = _run_stage(params["stages"][3], x, cfg, 3, rng=rngs[3],
                    deterministic=deterministic, precision=precision)
 

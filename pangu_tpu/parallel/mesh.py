@@ -1,0 +1,83 @@
+"""Device-mesh construction and axis conventions.
+
+Replaces the reference's NCCL/torch.distributed scaffolding
+(/root/reference/era5_data/utils_dist.py:13-59) with the JAX-native story:
+``jax.distributed.initialize`` for multi-host launch, a named
+``jax.sharding.Mesh`` over ICI, and XLA collectives compiled into the step
+by GSPMD — including the gradient all-reduce the reference forgot to wire
+(utils_dist.py:125 ``gather_grad`` is never called; SURVEY.md §2.4).
+
+Axis conventions (see pangu_tpu/parallel/sharding.py for the specs):
+  dp — batch data parallelism (gradient psum over this axis)
+  sp — longitude (sequence/spatial) parallelism: the (H, W) token grid is
+       sharded along W; windowed attention is local in W, so communication
+       is only the halo/permute XLA inserts for rolls and patch merges
+  tp — tensor parallelism over attention heads / MLP hidden
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh
+
+from pangu_tpu.config import MeshConfig
+
+AXES = ("dp", "sp", "tp")
+
+
+def initialize_distributed() -> None:
+    """Multi-host bring-up (idempotent). Reads the standard cluster env
+    (coordinator address, process id/count) like ``jax.distributed`` expects;
+    the SLURM/env-var launcher logic of the reference (utils_dist.py:24-59)
+    is subsumed by JAX's built-in cluster autodetection."""
+    if jax.process_count() > 1:
+        return  # already initialised
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+        jax.distributed.initialize()
+
+
+def build_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = cfg.dp * cfg.sp * cfg.tp
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {cfg} needs {n} devices, have {len(devices)}")
+    # Auto axis types: classic GSPMD propagation from the few annotations in
+    # pangu_tpu/parallel/sharding.py (JAX 0.9 defaults to Explicit mode).
+    return jax.make_mesh((cfg.dp, cfg.sp, cfg.tp), AXES,
+                         devices=devices[:n],
+                         axis_types=(jax.sharding.AxisType.Auto,) * 3)
+
+
+def auto_mesh_config(n_devices: int, *, lon_windows: int = 30,
+                     max_heads: int = 6, batch: int = 0) -> MeshConfig:
+    """Factor a device count into (dp, sp, tp).
+
+    Preference order: sp (longitude) first — it shards the dominant
+    activation memory; then dp if the batch allows; tp last. Divisibility:
+    sp must divide the half-resolution longitude window count, tp the
+    smallest head count.
+    """
+    remaining = n_devices
+    sp = 1
+    for cand in (8, 6, 5, 4, 3, 2):
+        if remaining % cand == 0 and lon_windows % cand == 0:
+            sp = cand
+            remaining //= cand
+            break
+    dp = 1
+    if batch:
+        dp = math.gcd(remaining, batch)
+        remaining //= dp
+    tp = 1
+    for cand in (6, 4, 3, 2):
+        if remaining % cand == 0 and max_heads % cand == 0:
+            tp = cand
+            remaining //= cand
+            break
+    dp *= remaining  # park any leftover factor on dp
+    return MeshConfig(dp=dp, sp=sp, tp=tp)

@@ -1,0 +1,91 @@
+"""Sharding rules: how params, optimizer state, batches and activations
+lay out over the (dp, sp, tp) mesh.
+
+The design follows the scaling-book recipe: annotate a small number of
+shardings (params, inputs, a token-grid constraint per stage) and let
+GSPMD propagate and insert collectives. This is the TPU-native
+replacement for the reference's (absent) model parallelism and its broken
+data parallelism (SURVEY.md §2.4):
+
+  * dp shards the batch; the gradient psum is compiled into the jitted
+    step automatically;
+  * sp shards the longitude axis of both the raw (lat, lon) fields and
+    the (B, Z, H, W, C) token grid — windowed attention is W-local, so the
+    only sp communication is the halo/permute traffic from rolls
+    (models/layers.py:199-201 becomes a collective permute over ICI) and
+    patch-merge boundaries;
+  * tp shards attention-head-aligned parameters: the earth-specific bias
+    tables — by far the largest parameter group (~87% of all weights) —
+    plus the MLP hidden dimension, megatron-style.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+# ---- activation constraints ----------------------------------------------
+
+TOKEN_SPEC = P("dp", None, None, "sp", None)       # (B, Z, H, W, C)
+UPPER_SPEC = P("dp", None, None, None, "sp")       # (B, V, L, lat, lon)
+SURFACE_SPEC = P("dp", None, None, "sp")           # (B, V, lat, lon)
+
+
+def _mesh_axes():
+    mesh = jax.sharding.get_abstract_mesh()
+    return getattr(mesh, "axis_names", ()) or ()
+
+
+def constrain(x, spec: P):
+    """Apply a sharding constraint when (and only when) running under a
+    mesh that defines the referenced axes; no-op single-device."""
+    axes = _mesh_axes()
+    if not axes:
+        return x
+    if any(a is not None and a not in axes for a in spec):
+        return x
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
+def shard_tokens(x):
+    return constrain(x, TOKEN_SPEC)
+
+
+# ---- parameter / optimizer-state layout ----------------------------------
+
+def param_spec(path: tuple, leaf) -> P:
+    """PartitionSpec for one parameter leaf, keyed by its pytree path."""
+    names = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    if "bias_table" in names:
+        return P(None, "tp", None, None)       # (ntype, heads, N, N)
+    if "mlp" in names and "fc1" in names:
+        return P(None, "tp") if leaf.ndim == 2 else P("tp")
+    if "mlp" in names and "fc2" in names:
+        return P("tp", None) if leaf.ndim == 2 else P(None)
+    if "attn" in names and "proj" in names and leaf.ndim == 2:
+        # proj input rows are head-major: row-shard aligns with
+        # head-parallel attention outputs
+        return P("tp", None)
+    return P()
+
+
+def param_shardings(mesh, params) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, param_spec(path, leaf)),
+        params)
+
+
+def batch_shardings(mesh):
+    return {
+        "upper": NamedSharding(mesh, UPPER_SPEC),
+        "surface": NamedSharding(mesh, SURFACE_SPEC),
+        "target_upper": NamedSharding(mesh, UPPER_SPEC),
+        "target_surface": NamedSharding(mesh, SURFACE_SPEC),
+    }
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())

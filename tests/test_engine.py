@@ -1,0 +1,117 @@
+"""Engine tests: scan-based rollout vs step-by-step feedback, orbax
+checkpoint roundtrip, evaluation sweep CSV layout."""
+
+import dataclasses
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pangu_tpu.config import TINY, Config, DataConfig
+from pangu_tpu.data.constants import synthetic_constants
+from pangu_tpu.engine import rollout as R
+from pangu_tpu.engine import evaluate as E
+from pangu_tpu.engine import train as T
+from pangu_tpu.models import pangu
+
+CFG = dataclasses.replace(TINY, remat=False)
+
+
+def _problem():
+    consts = {k: jnp.asarray(v) for k, v in synthetic_constants(CFG).items()}
+    params = pangu.init_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(5)
+    upper = jnp.asarray(rng.normal(
+        size=(1, 5, CFG.levels, CFG.lat, CFG.lon)).astype(np.float32))
+    surface = jnp.asarray(rng.normal(
+        size=(1, 4, CFG.lat, CFG.lon)).astype(np.float32))
+    return params, consts, upper, surface
+
+
+def test_rollout_matches_iterated_single_step():
+    """lax.scan rollout == feeding the de-normalised output back by hand
+    (the reference's host loop, inference/inference_singleOutput.py:97-105)."""
+    params, consts, upper, surface = _problem()
+
+    ru, rs = R.make_rollout(CFG, consts, steps=3)(
+        params, jnp.copy(upper), jnp.copy(surface))
+
+    u, s = upper, surface
+    for _ in range(3):
+        u, s = R.single_step(params, u, s, consts, CFG)
+    np.testing.assert_allclose(np.asarray(ru), np.asarray(u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(s), atol=1e-4)
+
+
+def test_rollout_trajectory_shapes():
+    params, consts, upper, surface = _problem()
+    (fu, fs), (tu, ts) = R.make_rollout(CFG, consts, steps=2,
+                                        return_trajectory=True)(
+        params, jnp.copy(upper), jnp.copy(surface))
+    assert tu.shape == (2,) + upper.shape
+    assert ts.shape == (2,) + surface.shape
+    np.testing.assert_allclose(np.asarray(tu[-1]), np.asarray(fu), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from pangu_tpu.utils.checkpoint import Checkpointer
+    params, consts, upper, surface = _problem()
+    tx = T.make_optimizer(Config().train, steps_per_epoch=10)
+    state = T.create_train_state(params, tx)
+
+    ck = Checkpointer(str(tmp_path / "run"))
+    ck.save(state, epoch=1)
+    ck.save_best(state)
+    ck.wait()
+
+    template = jax.tree.map(np.zeros_like, state)
+    restored, step = ck.restore_latest(template)
+    assert step == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["patch_embed"]["upper"]["kernel"]),
+        np.asarray(state.params["patch_embed"]["upper"]["kernel"]))
+
+    best = ck.restore_best(template)
+    np.testing.assert_array_equal(
+        np.asarray(best.params["downsample"]["reduce"]["kernel"]),
+        np.asarray(state.params["downsample"]["reduce"]["kernel"]))
+    ck.close()
+
+
+def test_evaluate_sweep_writes_csvs(tmp_path):
+    params, consts, upper, surface = _problem()
+    cfg = Config(model=CFG)
+
+    def batches():
+        for t in ("2018010312", "2018010400"):
+            yield {"upper": upper, "surface": surface,
+                   "target_upper": upper, "target_surface": surface,
+                   "times": ("in", t)}
+
+    tables = E.evaluate(params, batches(), cfg, consts,
+                        res_path=str(tmp_path), visualize=False)
+    csvs = sorted(os.listdir(tmp_path / "csv"))
+    assert csvs == sorted(
+        [f"{e}_upper_{v}.csv" for e in ("rmse", "acc") for v in "zqtuv"]
+        + ["rmse_surface.csv", "acc_surface.csv"])
+    import pandas as pd
+    df = pd.read_csv(tmp_path / "csv" / "rmse_upper_z.csv", index_col=0)
+    assert [str(i) for i in df.index] == ["2018010312", "2018010400"]
+    assert df.shape == (2, CFG.levels)
+    # surface CSV columns are variable names
+    df = pd.read_csv(tmp_path / "csv" / "acc_surface.csv", index_col=0)
+    assert list(df.columns) == ["msl", "u10", "v10", "t2m"]
+
+
+def test_evaluate_visualization(tmp_path):
+    params, consts, upper, surface = _problem()
+    cfg = Config(model=CFG)
+    batches = [{"upper": upper, "surface": surface,
+                "target_upper": upper, "target_surface": surface,
+                "times": ("in", "t0")}]
+    E.evaluate(params, batches, cfg, consts, res_path=str(tmp_path),
+               visualize=True)
+    pngs = os.listdir(tmp_path / "png")
+    assert any("t_Z" in p for p in pngs)
+    assert any("u10" in p for p in pngs)
