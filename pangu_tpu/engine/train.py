@@ -73,7 +73,10 @@ def make_optimizer(tcfg: TrainConfig, steps_per_epoch: int = 1,
         optax.scale_by_learning_rate(lr_schedule(tcfg, steps_per_epoch)),
     )
     if trainable_mask is not None:
-        tx = optax.masked(tx, trainable_mask)
+        labels = jax.tree.map(lambda t: "train" if t else "freeze",
+                              trainable_mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels)
     return tx
 
 

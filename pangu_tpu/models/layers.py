@@ -38,8 +38,17 @@ from pangu_tpu.config import ModelConfig, StageGeometry
 
 def dense(p, x, precision=None):
     """y = x @ kernel (+ bias). Kernel layout is (in, out) — the ONNX MatMul
-    layout, so converted weights load without transposition."""
+    layout, so converted weights load without transposition.
+
+    When LoRA leaves are present (see pangu_tpu/models/lora.py) the
+    low-rank update runs unmerged: y += (x @ A) @ B * (alpha / r) — two
+    skinny matmuls instead of materialising W + sAB."""
     y = jnp.dot(x, p["kernel"].astype(x.dtype), precision=precision)
+    if "lora_a" in p:
+        lo = jnp.dot(jnp.dot(x, p["lora_a"].astype(x.dtype),
+                             precision=precision),
+                     p["lora_b"].astype(x.dtype), precision=precision)
+        y = y + lo * p["lora_scale"].astype(x.dtype)
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     return y

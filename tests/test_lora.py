@@ -1,0 +1,110 @@
+"""LoRA tests: init neutrality, masked training freezes the base and
+updates only LoRA + output layer, merged-weight equivalence, audit report
+(reference semantics: finetune/lora_tune.py:124-175)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pangu_tpu.config import TINY, TrainConfig
+from pangu_tpu.data.constants import synthetic_constants
+from pangu_tpu.engine import train as T
+from pangu_tpu.models import lora, pangu
+
+CFG = dataclasses.replace(TINY, remat=False)
+
+
+def _problem():
+    consts = {k: jnp.asarray(v) for k, v in synthetic_constants(CFG).items()}
+    base = pangu.init_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(9)
+    batch = {
+        "upper": jnp.asarray(rng.normal(
+            size=(1, 5, CFG.levels, CFG.lat, CFG.lon)).astype(np.float32)),
+        "surface": jnp.asarray(rng.normal(
+            size=(1, 4, CFG.lat, CFG.lon)).astype(np.float32)),
+    }
+    batch["target_upper"] = batch["upper"] * 1.1
+    batch["target_surface"] = batch["surface"] * 1.1
+    return consts, base, batch
+
+
+def test_lora_sites_found():
+    base = pangu.init_params(jax.random.PRNGKey(0), CFG)
+    sites = lora._dense_sites(base)
+    names = {p[-1] for p in sites}
+    # every reference nn.Linear family: attn qkv/proj, mlp fc1/fc2,
+    # down/up-sample linears
+    assert names == {"qkv", "proj", "fc1", "fc2", "reduce", "expand", "mix"}
+    # 8 TINY blocks x 4 + downsample + upsample x 2 = 35
+    assert len(sites) == 8 * 4 + 3
+
+
+def test_lora_init_is_neutral():
+    consts, base, batch = _problem()
+    lp = lora.init_lora(jax.random.PRNGKey(1), base)
+    out_b = pangu.forward(base, batch["upper"], batch["surface"], consts, CFG)
+    out_l = pangu.forward(lp, batch["upper"], batch["surface"], consts, CFG)
+    np.testing.assert_allclose(np.asarray(out_l[0]), np.asarray(out_b[0]),
+                               atol=1e-6)
+
+
+def test_masked_training_updates_only_lora_and_output():
+    consts, base, batch = _problem()
+    params = lora.init_lora(jax.random.PRNGKey(1), base)
+    tcfg = TrainConfig(lr=1e-3, weight_decay=0.0)
+    mask = lora.trainable_mask(params)
+    tx = T.make_optimizer(tcfg, steps_per_epoch=100, trainable_mask=mask)
+    state = T.create_train_state(params, tx)
+    step = jax.jit(T.make_train_step(CFG, tcfg, consts, tx))
+    for i in range(2):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(m["loss"]))
+
+    report = lora.audit(params, state.params)
+    updated = set(report["updated"])
+    frozen = set(report["frozen"])
+    assert any("lora_b" in n for n in updated)
+    assert any("patch_recovery" in n for n in updated)
+    # base kernels frozen
+    assert all("lora" in n or "patch_recovery" in n for n in updated), \
+        sorted(updated)[:10]
+    assert any(".attn.qkv.kernel" in n for n in frozen)
+    # lora_a updates too once lora_b is nonzero? (first step: grad of A is
+    # zero because B=0; second step nonzero) — just require B moved:
+    b0 = params["stages"][0]["blocks"][0]["attn"]["qkv"]["lora_b"]
+    b1 = state.params["stages"][0]["blocks"][0]["attn"]["qkv"]["lora_b"]
+    assert not np.allclose(np.asarray(b0), np.asarray(b1))
+
+
+def test_merge_and_strip():
+    consts, base, batch = _problem()
+    params = lora.init_lora(jax.random.PRNGKey(1), base)
+    # give the factors real values
+    params = jax.tree.map(
+        lambda x: x, params)
+    site = params["stages"][0]["blocks"][0]["mlp"]["fc1"]
+    site["lora_b"] = jnp.asarray(np.random.default_rng(3).normal(
+        size=site["lora_b"].shape).astype(np.float32) * 0.01)
+
+    out_l = pangu.forward(params, batch["upper"], batch["surface"], consts,
+                          CFG)
+    merged = lora.merge_lora(params)
+    # merged tree has no lora leaves
+    assert not any("lora" in str(p)
+                   for p, _ in jax.tree_util.tree_flatten_with_path(merged)[0]
+                   for p in [p])
+    out_m = pangu.forward(merged, batch["upper"], batch["surface"], consts,
+                          CFG)
+    np.testing.assert_allclose(np.asarray(out_m[0]), np.asarray(out_l[0]),
+                               atol=1e-4)
+
+    stripped = lora.strip_lora(params)
+    out_s = pangu.forward(stripped, batch["upper"], batch["surface"], consts,
+                          CFG)
+    out_b = pangu.forward(base, batch["upper"], batch["surface"], consts,
+                          CFG)
+    np.testing.assert_allclose(np.asarray(out_s[0]), np.asarray(out_b[0]),
+                               atol=1e-6)
