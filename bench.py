@@ -26,7 +26,8 @@ def main():
     from pangu_tpu.models import pangu
 
     cfg = dataclasses.replace(PANGU_24, param_dtype="bfloat16",
-                              compute_dtype="bfloat16", remat=False)
+                              compute_dtype="bfloat16", remat=False,
+                              attn_impl="pallas")
     params = pangu.init_params(jax.random.PRNGKey(0), cfg)
     constants = {k: jnp.asarray(v)
                  for k, v in synthetic_constants(cfg).items()}

@@ -280,6 +280,10 @@ def _replace_nested(obj, updates: Mapping[str, Any]):
             own[k] = _replace_nested(cur, v)
         elif isinstance(cur, tuple) and isinstance(v, Sequence) and not isinstance(v, str):
             own[k] = tuple(v)
+        elif isinstance(cur, str):
+            # keep string-typed fields strings (date windows like
+            # "20180103" would otherwise JSON-parse to ints)
+            own[k] = str(v)
         else:
             own[k] = v
     return dataclasses.replace(obj, **own)

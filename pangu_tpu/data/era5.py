@@ -49,23 +49,28 @@ def _decode_nc_time(raw: np.ndarray, units: str) -> np.ndarray:
 
 
 def _read_h5_var(ds, time_idx: int, expver_idx: Optional[int]) -> np.ndarray:
-    """Read one timestep of a variable, undoing CF int16 packing."""
+    """Read one timestep of a variable, undoing CF int16 packing (native
+    fastpack kernel when built, numpy otherwise)."""
     if expver_idx is not None and ds.ndim >= 3:
         raw = ds[time_idx, expver_idx]
     else:
         raw = ds[time_idx]
-    data = np.asarray(raw, dtype=np.float64)
+    raw = np.asarray(raw)
     attrs = ds.attrs
     fill = attrs.get("_FillValue", attrs.get("missing_value"))
-    if fill is not None:
-        data = np.where(np.asarray(raw) == np.asarray(fill), np.nan, data)
+    fill = None if fill is None else int(np.asarray(fill).item())
     scale = attrs.get("scale_factor")
     offset = attrs.get("add_offset")
-    if scale is not None:
-        data = data * float(np.asarray(scale).item())
-    if offset is not None:
-        data = data + float(np.asarray(offset).item())
-    return data.astype(np.float32)
+    scale = 1.0 if scale is None else float(np.asarray(scale).item())
+    offset = 0.0 if offset is None else float(np.asarray(offset).item())
+
+    if raw.dtype == np.int16:
+        from pangu_tpu.data import fastpack
+        return fastpack.unpack_i16(raw, scale, offset, fill)
+    data = raw.astype(np.float32)
+    if fill is not None:
+        data = np.where(raw == fill, np.nan, data)
+    return (data * np.float32(scale) + np.float32(offset)).astype(np.float32)
 
 
 def read_netcdf_fields(path: str, variables: Sequence[str],
@@ -114,8 +119,8 @@ def stack_state(upper_fields: Dict[str, np.ndarray],
     """Stack per-variable fields into the canonical arrays
     (5, levels, lat, lon) / (4, lat, lon), with the level axis flipped to
     descending pressure — index 0 == 1000 hPa (utils_data.py:113-125)."""
-    upper = np.stack([upper_fields[v] for v in UPPER_VARS])
-    upper = np.ascontiguousarray(upper[:, ::-1])
+    from pangu_tpu.data import fastpack
+    upper = fastpack.stack_flip([upper_fields[v] for v in UPPER_VARS])
     surface = np.stack([surface_fields[v] for v in SURFACE_VARS])
     return upper.astype(np.float32), surface.astype(np.float32)
 
@@ -330,10 +335,22 @@ def device_put_fn(mesh=None):
                     for k, v in batch.items()}
         return put
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from pangu_tpu.parallel.sharding import batch_shardings
     bsh = batch_shardings(mesh)
+    dp = mesh.shape.get("dp", 1)
+    # eval batches (batch 1) may not divide the dp axis: replicate batch
+    bsh_nodp = {k: NamedSharding(mesh, P(None, *s.spec[1:]))
+                for k, s in bsh.items()}
 
     def put(batch):
-        return {k: (jax.device_put(v, bsh[k]) if k in bsh else v)
-                for k, v in batch.items()}
+        out = {}
+        for k, v in batch.items():
+            if k not in bsh:
+                out[k] = v
+            elif v.shape[0] % dp == 0:
+                out[k] = jax.device_put(v, bsh[k])
+            else:
+                out[k] = jax.device_put(v, bsh_nodp[k])
+        return out
     return put

@@ -94,6 +94,8 @@ def evaluate(params, batches: Iterable, cfg: Config, constants, *,
             params, batch["upper"], batch["surface"],
             batch["target_upper"], batch["target_surface"])
         target_time = batch.get("times", (str(i), str(i)))[1]
+        if isinstance(target_time, (tuple, list)):
+            target_time = target_time[0]
         if logger is not None:
             logger.info(f"predict on {i} -> {target_time}")
         for name in names:

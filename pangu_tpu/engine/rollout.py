@@ -47,3 +47,60 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
         return ((u, s), traj) if return_trajectory else (u, s)
 
     return jax.jit(rollout, donate_argnums=(1, 2))
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical multi-model rollout (1h/3h/6h/24h greedy scheduling)
+# ---------------------------------------------------------------------------
+
+def greedy_schedule(horizon: int,
+                    available: Tuple[int, ...] = (24, 6, 3, 1)) -> list[int]:
+    """Decompose a forecast horizon into the fewest model steps, largest
+    horizon first — the strategy of the original Pangu-Weather paper for
+    its 1/3/6/24-hour model hierarchy (the reference ships the four ONNX
+    checkpoints, era5_data/config.py:67-70, but only wires the 24 h one;
+    inference_singleOutput.py:92 hard-codes horizon // 24)."""
+    if horizon <= 0:
+        raise ValueError("horizon must be positive")
+    steps: list[int] = []
+    remaining = horizon
+    for h in sorted(available, reverse=True):
+        while remaining >= h:
+            steps.append(h)
+            remaining -= h
+    if remaining:
+        raise ValueError(
+            f"horizon {horizon} h not representable with models {available}")
+    return steps
+
+
+def make_hierarchical_rollout(cfg: ModelConfig, constants,
+                              horizon: int, model_horizons: Tuple[int, ...],
+                              *, precision=None):
+    """Build a jitted rollout over a model *hierarchy*: params_by_horizon is
+    a dict {horizon_hours: params pytree}; the greedy schedule chains the
+    largest usable model at each step. Steps with the same horizon are
+    grouped into scans so each distinct model traces exactly once."""
+    schedule = greedy_schedule(horizon, model_horizons)
+    # group consecutive equal horizons: [24,24,6,3] -> [(24,2),(6,1),(3,1)]
+    groups: list[tuple[int, int]] = []
+    for h in schedule:
+        if groups and groups[-1][0] == h:
+            groups[-1] = (h, groups[-1][1] + 1)
+        else:
+            groups.append((h, 1))
+
+    def rollout(params_by_horizon, upper, surface):
+        carry = (upper, surface)
+        for h, count in groups:
+            params = params_by_horizon[h]
+
+            def body(c, _, params=params):
+                u, s = single_step(params, c[0], c[1], constants, cfg,
+                                   precision)
+                return (u, s), None
+
+            carry, _ = jax.lax.scan(body, carry, None, length=count)
+        return carry
+
+    return jax.jit(rollout, donate_argnums=(1, 2)), schedule

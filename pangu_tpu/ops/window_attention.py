@@ -1,0 +1,159 @@
+"""Fused windowed-attention Pallas kernel for the Earth-specific blocks.
+
+The XLA path materialises the attention logits tensor in HBM —
+(B, nlon, ntype, heads, 144, 144) fp32 is ~1.8 GB at full resolution —
+and streams it three times (bias add, softmax, P@V). This kernel keeps the
+whole per-window softmax in VMEM: one program computes
+``softmax(q k^T * scale + bias) v`` for a block of longitude windows and
+heads of a fixed window-type, with the earth-specific bias tile resident
+in VMEM across the longitude loop.
+
+Layout choices (measured on TPU v5e; see /opt/skills/guides/
+pallas_guide.md and boom_attention_tricks.md):
+  * q/k/v are carried **transposed** as (..., head_dim, N): head_dim=32 on
+    the sublane axis and the 144-token window on the lane axis wastes far
+    fewer padded lanes than the (N, 32) layout (32 -> 128 pad = 4x);
+  * q/k/v travel as ONE fused array straight out of the qkv projection —
+    a single input stream instead of three;
+  * logits/softmax accumulate in fp32 while q/k/v stay in the model
+    compute dtype; no online softmax needed — the full 144-token key dim
+    sits in VMEM;
+  * the shifted-window mask is pre-folded into the bias operand so the
+    kernel has a single additive term;
+  * backward pass = recompute through the XLA reference implementation
+    under ``jax.custom_vjp`` (training remats each block anyway; a
+    hand-written bwd kernel is a further optimisation, not a correctness
+    need).
+
+Parity: numerics identical to EarthAttention3D
+(/root/reference/models/layers.py:360-421) modulo fp reassociation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target."""
+    for w in range(min(n, target), 0, -1):
+        if n % w == 0:
+            return w
+    return 1
+
+
+def _make_kernel(wblk: int, hblk: int, hd: int, n: int):
+    def kernel(qkv_ref, b_ref, o_ref):
+        blk = qkv_ref[...]                    # (wblk, 1, 3, hblk, hd, N)
+        batch = wblk * hblk
+        q = blk[:, 0, 0].reshape(batch, hd, n)
+        k = blk[:, 0, 1].reshape(batch, hd, n)
+        v = blk[:, 0, 2].reshape(batch, hd, n)
+
+        s = jax.lax.dot_general(                       # (batch, N, N)
+            q, k, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        s = s.reshape(wblk, 1, hblk, n, n) + b_ref[...][None]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
+            v.dtype).reshape(batch, n, n)
+        o = jax.lax.dot_general(                       # (batch, hd, N)
+            v, p, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        o_ref[...] = o.reshape(wblk, 1, hblk, hd, n).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _sdpa_pallas(qkv, bias):
+    """qkv: (nwin, ntype, 3, heads, hd, N) with q pre-scaled;
+    bias: (ntype, heads, N, N) fp32 (mask folded in).
+    Returns (nwin, ntype, heads, hd, N)."""
+    nwin, ntype, _, heads, hd, n = qkv.shape
+    wblk = _pick_block(nwin, 10)
+    hblk = heads
+
+    spec_qkv = pl.BlockSpec((wblk, 1, 3, hblk, hd, n),
+                            lambda t, h, w: (w, t, 0, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_bias = pl.BlockSpec((1, hblk, n, n), lambda t, h, w: (t, h, 0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((wblk, 1, hblk, hd, n),
+                            lambda t, h, w: (w, t, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _make_kernel(wblk, hblk, hd, n),
+        out_shape=jax.ShapeDtypeStruct((nwin, ntype, heads, hd, n),
+                                       qkv.dtype),
+        grid=(ntype, heads // hblk, nwin // wblk),
+        in_specs=[spec_qkv, spec_bias],
+        out_specs=spec_out,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * nwin * ntype * heads * n * n * hd,
+            bytes_accessed=qkv.size * qkv.dtype.itemsize + bias.size * 4,
+            transcendentals=nwin * ntype * heads * n * n),
+    )(qkv, bias)
+
+
+def _sdpa_reference(qkv, bias):
+    """XLA fallback with identical math; drives the backward pass."""
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    s = jnp.einsum("wthdq,wthdk->wthqk", q, k,
+                   preferred_element_type=jnp.float32)
+    s = s + bias[None]
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("wthqk,wthdk->wthdq", p, v)
+
+
+@jax.custom_vjp
+def _sdpa(qkv, bias):
+    return _sdpa_pallas(qkv, bias)
+
+
+def _sdpa_fwd(qkv, bias):
+    return _sdpa_pallas(qkv, bias), (qkv, bias)
+
+
+def _sdpa_bwd(res, g):
+    qkv, bias = res
+    _, vjp = jax.vjp(_sdpa_reference, qkv, bias)
+    return vjp(g)
+
+
+_sdpa.defvjp(_sdpa_fwd, _sdpa_bwd)
+
+
+def window_attention_pallas(p, x, heads: int, mask: Optional[jax.Array]):
+    """Drop-in replacement for layers.earth_attention with the fused
+    Pallas core. x: (B, nlon, ntype, N, C)."""
+    from pangu_tpu.models.layers import dense
+
+    B, nlon, ntype, N, C = x.shape
+    hd = C // heads
+    scale = hd ** -0.5
+
+    qkv = dense(p["qkv"], x)                         # (B, nlon, ntype, N, 3C)
+    qkv = qkv.reshape(B * nlon, ntype, N, 3, heads, hd)
+    qkv = qkv.transpose(0, 1, 3, 4, 5, 2)            # (nwin,ntype,3,heads,hd,N)
+    # pre-scale q (cheaper than scaling the logits in fp32)
+    qkv = qkv.at[:, :, 0].multiply(jnp.asarray(scale, qkv.dtype))
+
+    bias = p["bias_table"].astype(jnp.float32)
+    if mask is not None:
+        bias = bias + mask[:, None]
+
+    out = _sdpa(qkv, bias)                           # (nwin,ntype,heads,hd,N)
+    out = out.transpose(0, 1, 4, 2, 3).reshape(B, nlon, ntype, N, C)
+    return dense(p["proj"], out)

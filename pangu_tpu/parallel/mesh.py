@@ -55,29 +55,30 @@ def build_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
 
 def auto_mesh_config(n_devices: int, *, lon_windows: int = 30,
                      max_heads: int = 6, batch: int = 0) -> MeshConfig:
-    """Factor a device count into (dp, sp, tp).
+    """Choose (dp, sp, tp) with dp | batch, sp | lon_windows (half-res
+    longitude window count) and tp | max_heads (smallest head count).
 
-    Preference order: sp (longitude) first — it shards the dominant
-    activation memory; then dp if the batch allows; tp last. Divisibility:
-    sp must divide the half-resolution longitude window count, tp the
-    smallest head count.
+    Searches all exact factorisations, preferring (in order) total devices
+    used, then sp — longitude sharding cuts the dominant activation
+    memory — then dp, then tp. May return a mesh smaller than n_devices
+    when no exact factorisation satisfies the divisibility constraints
+    (e.g. batch 1 on 8 chips); callers that require the full world should
+    pick a batch size that factors.
     """
-    remaining = n_devices
-    sp = 1
-    for cand in (8, 6, 5, 4, 3, 2):
-        if remaining % cand == 0 and lon_windows % cand == 0:
-            sp = cand
-            remaining //= cand
-            break
-    dp = 1
-    if batch:
-        dp = math.gcd(remaining, batch)
-        remaining //= dp
-    tp = 1
-    for cand in (6, 4, 3, 2):
-        if remaining % cand == 0 and max_heads % cand == 0:
-            tp = cand
-            remaining //= cand
-            break
-    dp *= remaining  # park any leftover factor on dp
-    return MeshConfig(dp=dp, sp=sp, tp=tp)
+    batch = batch or 1
+    best: Optional[Tuple[tuple, MeshConfig]] = None
+    for dp in range(1, n_devices + 1):
+        if batch % dp:
+            continue
+        for sp in range(1, n_devices // dp + 1):
+            if dp * sp > n_devices or lon_windows % sp:
+                continue
+            for tp in range(1, n_devices // (dp * sp) + 1):
+                size = dp * sp * tp
+                if size > n_devices or max_heads % tp:
+                    continue
+                key = (size, sp, dp, tp)
+                if best is None or key > best[0]:
+                    best = (key, MeshConfig(dp=dp, sp=sp, tp=tp))
+    assert best is not None
+    return best[1]

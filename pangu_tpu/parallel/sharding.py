@@ -59,6 +59,9 @@ def shard_tokens(x):
 def param_spec(path: tuple, leaf) -> P:
     """PartitionSpec for one parameter leaf, keyed by its pytree path."""
     names = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+    if leaf.ndim == 0 or any(isinstance(n, str) and n.startswith("lora")
+                             for n in names):
+        return P()   # scalars + LoRA factors (tiny) stay replicated
     if "bias_table" in names:
         return P(None, "tp", None, None)       # (ntype, heads, N, N)
     if "mlp" in names and "fc1" in names:

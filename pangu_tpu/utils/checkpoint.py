@@ -71,8 +71,12 @@ class Checkpointer:
 
 
 def save_params(path: str, params: Any):
-    """One-shot parameter snapshot (e.g. converted pretrained weights)."""
-    ocp.StandardCheckpointer().save(os.path.abspath(path), params, force=True)
+    """One-shot parameter snapshot (e.g. converted pretrained weights);
+    blocks until the (async) write is durable."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+    ckptr.close()
 
 
 def load_params(path: str, template: Optional[Any] = None) -> Any:

@@ -23,6 +23,7 @@ def setup_logger(name: str, log_path: Optional[str] = None,
     if log.handlers:
         return log
     log.setLevel(level)
+    log.propagate = False
     fmt = logging.Formatter("%(asctime)s.%(msecs)03d : %(message)s",
                             datefmt="%y-%m-%d %H:%M:%S")
     if log_path:

@@ -179,3 +179,28 @@ def test_norm_roundtrip():
     bu, bs = denorm_data(nu, ns, c)
     np.testing.assert_allclose(bu, u, atol=1e-5)
     np.testing.assert_allclose(bs, s, atol=1e-5)
+
+
+def test_fastpack_native_kernels():
+    """Native data-plane kernels vs numpy reference (falls back to numpy
+    automatically when the toolchain is unavailable)."""
+    from pangu_tpu.data import fastpack as fp
+    rng = np.random.default_rng(0)
+
+    raw = rng.integers(-30000, 30000, size=(13, 40, 50), dtype=np.int16)
+    got = fp.unpack_i16(raw, 0.01, 5.0, fill=-30000)
+    want = np.where(raw == -30000, np.nan,
+                    raw.astype(np.float32) * 0.01 + 5.0)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    fields = [rng.normal(size=(13, 30, 20)).astype(np.float32)
+              for _ in range(5)]
+    np.testing.assert_array_equal(fp.stack_flip(fields),
+                                  np.stack(fields)[:, ::-1])
+
+    x = rng.normal(size=(5, 13, 30, 20)).astype(np.float32)
+    m = rng.normal(size=(5, 13)).astype(np.float32)
+    s = rng.uniform(0.5, 2, size=(5, 13)).astype(np.float32)
+    np.testing.assert_allclose(fp.normalize(x, m, s),
+                               (x - m[..., None, None]) / s[..., None, None],
+                               atol=1e-5)

@@ -115,3 +115,33 @@ def test_evaluate_visualization(tmp_path):
     pngs = os.listdir(tmp_path / "png")
     assert any("t_Z" in p for p in pngs)
     assert any("u10" in p for p in pngs)
+
+
+def test_greedy_schedule():
+    from pangu_tpu.engine.rollout import greedy_schedule
+    assert greedy_schedule(24) == [24]
+    assert greedy_schedule(168) == [24] * 7
+    assert greedy_schedule(31) == [24, 6, 1]
+    assert greedy_schedule(17) == [6, 6, 3, 1, 1]
+    import pytest
+    with pytest.raises(ValueError):
+        greedy_schedule(5, available=(24, 6, 3))
+    with pytest.raises(ValueError):
+        greedy_schedule(0)
+
+
+def test_hierarchical_rollout_matches_manual_chain():
+    from pangu_tpu.engine.rollout import (make_hierarchical_rollout,
+                                          single_step)
+    params, consts, upper, surface = _problem()
+    # two "models": reuse the same params for 24h and 6h slots
+    models = {24: params, 6: params}
+    roll, schedule = make_hierarchical_rollout(CFG, consts, 54, (24, 6))
+    assert schedule == [24, 24, 6]
+    got_u, got_s = roll(models, jnp.copy(upper), jnp.copy(surface))
+
+    u, s = upper, surface
+    for _ in range(3):
+        u, s = single_step(params, u, s, consts, CFG)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(s), atol=1e-4)

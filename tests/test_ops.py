@@ -1,0 +1,89 @@
+"""Pallas fused window-attention tests, run in interpreter mode on CPU so
+they validate the kernel logic everywhere (the real lowering is exercised
+on TPU by bench.py and the pallas attn_impl config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pangu_tpu.models import layers as L
+from pangu_tpu.ops import window_attention as W
+
+RNG = np.random.default_rng(0)
+
+
+def _mk(nwin=2, ntype=3, heads=2, N=24, hd=8):
+    qkv = RNG.normal(size=(nwin, ntype, 3, heads, hd, N)).astype(np.float32)
+    bias = RNG.normal(size=(ntype, heads, N, N)).astype(np.float32)
+    return jnp.asarray(qkv), jnp.asarray(bias)
+
+
+def test_reference_sdpa_matches_earth_attention_math():
+    """_sdpa_reference (transposed layout) == the plain attention core."""
+    nwin, ntype, heads, N, hd = 2, 3, 2, 24, 8
+    qkv, bias = _mk(nwin, ntype, heads, N, hd)
+    out_t = W._sdpa_reference(qkv, bias)       # (nwin, ntype, heads, hd, N)
+
+    q = np.asarray(qkv[:, :, 0]).transpose(0, 1, 2, 4, 3)  # (..., N, hd)
+    k = np.asarray(qkv[:, :, 1]).transpose(0, 1, 2, 4, 3)
+    v = np.asarray(qkv[:, :, 2]).transpose(0, 1, 2, 4, 3)
+    s = q @ k.transpose(0, 1, 2, 4, 3) + np.asarray(bias)[None]
+    e = np.exp(s - s.max(-1, keepdims=True))
+    p = e / e.sum(-1, keepdims=True)
+    want = (p @ v).transpose(0, 1, 2, 4, 3)
+    np.testing.assert_allclose(np.asarray(out_t), want, atol=1e-5)
+
+
+def test_pallas_kernel_interpret_matches_reference():
+    qkv, bias = _mk()
+    with pltpu.force_tpu_interpret_mode():
+        got = W._sdpa_pallas(qkv, bias)
+    want = W._sdpa_reference(qkv, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pallas_gradient_is_reference_gradient():
+    qkv, bias = _mk()
+
+    def loss_p(qkv, bias):
+        return jnp.sum(W._sdpa(qkv, bias) ** 2)
+
+    def loss_r(qkv, bias):
+        return jnp.sum(W._sdpa_reference(qkv, bias) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_p, argnums=(0, 1))(qkv, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1))(qkv, bias)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_window_attention_pallas_matches_xla_path():
+    """Full wrapper (qkv proj + kernel + out proj) vs layers.earth_attention
+    on a window geometry with a shifted mask."""
+    B, nlon, ntype, N, C, heads = 1, 4, 3, 144, 16, 2
+    x = jnp.asarray(RNG.normal(size=(B, nlon, ntype, N, C)).astype(np.float32))
+    p = {
+        "qkv": {"kernel": jnp.asarray(
+            RNG.normal(size=(C, 3 * C)).astype(np.float32) * 0.1),
+            "bias": jnp.asarray(RNG.normal(size=3 * C).astype(np.float32) * 0.1)},
+        "proj": {"kernel": jnp.asarray(
+            RNG.normal(size=(C, C)).astype(np.float32) * 0.1),
+            "bias": jnp.asarray(RNG.normal(size=C).astype(np.float32) * 0.1)},
+        "bias_table": jnp.asarray(
+            RNG.normal(size=(ntype, heads, N, N)).astype(np.float32) * 0.1),
+    }
+    mask = jnp.asarray(L.shifted_window_mask(4, 18, (2, 6, 12)))[:ntype]
+    want = L.earth_attention(p, x, heads, mask)
+    with pltpu.force_tpu_interpret_mode():
+        got = W.window_attention_pallas(p, x, heads, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_pick_block():
+    assert W._pick_block(30, 10) == 10
+    assert W._pick_block(15, 10) == 5
+    assert W._pick_block(7, 10) == 7
+    assert W._pick_block(13, 10) == 1
