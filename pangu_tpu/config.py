@@ -91,6 +91,8 @@ class ModelConfig:
     compute_dtype: str = "float32"
     remat: bool = True          # jax.checkpoint each block during training
     attn_impl: str = "xla"      # "xla" | "pallas"
+    fast_math: bool = False     # bf16 LayerNorm stats + tanh-approx GELU
+                                # (perf mode; parity mode keeps fp32/erf)
 
     def __post_init__(self):
         pz, ph, pw = self.patch

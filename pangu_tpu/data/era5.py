@@ -354,3 +354,30 @@ def device_put_fn(mesh=None):
                 out[k] = jax.device_put(v, bsh_nodp[k])
         return out
     return put
+
+
+def compute_statistics(loader: "Loader", epoch: int = 0):
+    """Offline per-variable mean/std over a loader — the reference's
+    computeStatistics tool (era5_data/utils_data.py:274-288), averaging
+    per-batch spatial moments."""
+    sums = None
+    n = 0
+    for batch in loader.epoch(epoch):
+        u, s = np.asarray(batch["upper"]), np.asarray(batch["surface"])
+        cur = {
+            "upper_mean": u.mean(axis=(0, -1, -2)),
+            "upper_std": u.std(axis=(0, -1, -2)),
+            "surface_mean": s.mean(axis=(0, -1, -2)),
+            "surface_std": s.std(axis=(0, -1, -2)),
+        }
+        sums = cur if sums is None else {k: sums[k] + cur[k] for k in sums}
+        n += 1
+    if not n:
+        raise ValueError("empty loader")
+    stats = {k: (v / n).astype(np.float32) for k, v in sums.items()}
+    # broadcast-ready canonical shapes
+    stats["upper_mean"] = stats["upper_mean"][..., None, None]
+    stats["upper_std"] = stats["upper_std"][..., None, None]
+    stats["surface_mean"] = stats["surface_mean"][..., None, None]
+    stats["surface_std"] = stats["surface_std"][..., None, None]
+    return stats

@@ -82,3 +82,17 @@ def top_quantiles_error(pred, target, qs: int = 100, qlim: int = 3,
     p_tar = jnp.quantile(target.reshape(n, c, -1), qtile, axis=-1)
     p_pred = jnp.quantile(pred.reshape(n, c, -1), qtile, axis=-1)
     return jnp.mean(p_pred - p_tar, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def weighted_acc_masked_channels(pred, target, mask):
+    """Masked latitude-weighted ACC (era5_data/score.py:113-120): `mask` is
+    a {0,1} field broadcastable against (..., lat, lon)."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    w = latitude_weights(pred.shape[-2])[..., :, None]
+    num = jnp.sum(mask * w * pred * target, axis=(-1, -2))
+    den = jnp.sqrt(jnp.sum(mask * w * pred * pred, axis=(-1, -2))
+                   * jnp.sum(mask * w * target * target, axis=(-1, -2)))
+    return num / den

@@ -60,23 +60,24 @@ def dense(p, x, precision=None):
     return y.reshape(*lead, y.shape[-1])
 
 
-def layer_norm(p, x, eps: float = 1e-5):
+def layer_norm(p, x, eps: float = 1e-5, fast: bool = False):
     """LayerNorm over the trailing channel dim; fp32 statistics regardless of
-    activation dtype (torch nn.LayerNorm default eps, models/layers.py:141)."""
-    xf = x.astype(jnp.float32)
+    activation dtype (torch nn.LayerNorm default eps, models/layers.py:141).
+    ``fast`` keeps stats in the activation dtype (perf mode)."""
+    xf = x if fast else x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
-    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    y = y * p["scale"].astype(y.dtype) + p["bias"].astype(y.dtype)
     return y.astype(x.dtype)
 
 
-def mlp(p, x, precision=None):
+def mlp(p, x, precision=None, fast: bool = False):
     """Linear(dim,4dim) -> exact GELU -> Linear(4dim,dim)
     (models/layers.py:255-270; torch nn.GELU is the erf variant, hence
-    approximate=False)."""
+    approximate=False; ``fast`` switches to the tanh approximation)."""
     h = dense(p["fc1"], x, precision)
-    h = jax.nn.gelu(h, approximate=False)
+    h = jax.nn.gelu(h, approximate=fast)
     return dense(p["fc2"], h, precision)
 
 
@@ -262,7 +263,8 @@ def earth_attention(p, x, heads: int, mask: Optional[jax.Array],
 
 def earth_block(p, x, geom: StageGeometry, roll: bool, *,
                 drop_rate: float = 0.0, rng=None, deterministic: bool = True,
-                precision=None, attn_impl: str = "xla"):
+                precision=None, attn_impl: str = "xla",
+                fast_math: bool = False):
     """One 3D shifted-window transformer block on the (B, Z, H, W, C) grid.
 
     Post-norm residuals exactly as the reference (models/layers.py:250-251):
@@ -294,10 +296,12 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
     x = xp[:, :, :H]
 
     r1, r2 = (None, None) if rng is None else tuple(jax.random.split(rng))
-    x = shortcut + drop_path(layer_norm(p["norm1"], x), drop_rate, r1,
-                             deterministic)
-    x = x + drop_path(layer_norm(p["norm2"], mlp(p["mlp"], x, precision)),
-                      drop_rate, r2, deterministic)
+    x = shortcut + drop_path(layer_norm(p["norm1"], x, fast=fast_math),
+                             drop_rate, r1, deterministic)
+    x = x + drop_path(
+        layer_norm(p["norm2"], mlp(p["mlp"], x, precision, fast=fast_math),
+                   fast=fast_math),
+        drop_rate, r2, deterministic)
     return x
 
 

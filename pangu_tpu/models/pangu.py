@@ -123,19 +123,19 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
     rates = cfg.drop_path_rates()
     offset = sum(cfg.depths[:stage_idx])
 
-    block_fn = functools.partial(
-        L.earth_block, geom=geom, precision=precision,
-        attn_impl=cfg.attn_impl)
-    if cfg.remat and not deterministic:
-        block_fn = jax.checkpoint(
-            block_fn, static_argnames=("roll", "drop_rate", "deterministic"))
-
     for j, bp in enumerate(stage_params["blocks"]):
         brng = None
         if rng is not None:
             rng, brng = jax.random.split(rng)
-        x = block_fn(bp, x, roll=(j % 2 == 1), drop_rate=rates[offset + j],
-                     rng=brng, deterministic=deterministic)
+
+        block_fn = functools.partial(
+            L.earth_block, geom=geom, precision=precision,
+            attn_impl=cfg.attn_impl, fast_math=cfg.fast_math,
+            roll=(j % 2 == 1), drop_rate=rates[offset + j],
+            deterministic=deterministic)
+        if cfg.remat and not deterministic:
+            block_fn = jax.checkpoint(block_fn)
+        x = block_fn(bp, x, rng=brng)
     return x
 
 
@@ -178,3 +178,24 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
 
 def param_count(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def summarize(params, cfg: ModelConfig) -> str:
+    """Human-readable parameter summary (the role of torch_summarize,
+    era5_data/utils.py:136-166)."""
+    lines = [f"PanguModel ({cfg.lat}x{cfg.lon}, {cfg.levels} levels, "
+             f"dims {cfg.dims}, depths {cfg.depths})"]
+    total = 0
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    groups: dict = {}
+    for path, leaf in flat:
+        key = str(getattr(path[0], "key", path[0]))
+        if key == "stages":
+            key = f"stage[{path[1].idx}]"
+        n = int(np.prod(leaf.shape))
+        groups[key] = groups.get(key, 0) + n
+        total += n
+    for key, n in groups.items():
+        lines.append(f"  {key:<16} {n:>12,} params ({100*n/max(total,1):.1f}%)")
+    lines.append(f"  total            {total:>12,} params")
+    return "\n".join(lines)

@@ -49,10 +49,12 @@ def _pick_block(n: int, target: int) -> int:
 
 
 def _make_kernel(wblk: int, hblk: int, hd: int, n: int):
+    scale = hd ** -0.5
+
     def kernel(qkv_ref, b_ref, o_ref):
         blk = qkv_ref[...]                    # (wblk, 1, 3, hblk, hd, N)
         batch = wblk * hblk
-        q = blk[:, 0, 0].reshape(batch, hd, n)
+        q = blk[:, 0, 0].reshape(batch, hd, n) * jnp.asarray(scale, blk.dtype)
         k = blk[:, 0, 1].reshape(batch, hd, n)
         v = blk[:, 0, 2].reshape(batch, hd, n)
 
@@ -110,6 +112,8 @@ def _sdpa_pallas(qkv, bias):
 def _sdpa_reference(qkv, bias):
     """XLA fallback with identical math; drives the backward pass."""
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    hd = q.shape[-2]
+    q = q * jnp.asarray(hd ** -0.5, q.dtype)
     s = jnp.einsum("wthdq,wthdk->wthqk", q, k,
                    preferred_element_type=jnp.float32)
     s = s + bias[None]
@@ -142,13 +146,11 @@ def window_attention_pallas(p, x, heads: int, mask: Optional[jax.Array]):
 
     B, nlon, ntype, N, C = x.shape
     hd = C // heads
-    scale = hd ** -0.5
 
     qkv = dense(p["qkv"], x)                         # (B, nlon, ntype, N, 3C)
     qkv = qkv.reshape(B * nlon, ntype, N, 3, heads, hd)
     qkv = qkv.transpose(0, 1, 3, 4, 5, 2)            # (nwin,ntype,3,heads,hd,N)
-    # pre-scale q (cheaper than scaling the logits in fp32)
-    qkv = qkv.at[:, :, 0].multiply(jnp.asarray(scale, qkv.dtype))
+    # q scaling happens inside the kernel (scaling here would copy qkv)
 
     bias = p["bias_table"].astype(jnp.float32)
     if mask is not None:
