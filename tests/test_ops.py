@@ -29,7 +29,7 @@ def test_reference_sdpa_matches_earth_attention_math():
     q = np.asarray(qkv[:, :, 0]).transpose(0, 1, 2, 4, 3)  # (..., N, hd)
     k = np.asarray(qkv[:, :, 1]).transpose(0, 1, 2, 4, 3)
     v = np.asarray(qkv[:, :, 2]).transpose(0, 1, 2, 4, 3)
-    s = q @ k.transpose(0, 1, 2, 4, 3) + np.asarray(bias)[None]
+    s = (q * hd ** -0.5) @ k.transpose(0, 1, 2, 4, 3) + np.asarray(bias)[None]
     e = np.exp(s - s.max(-1, keepdims=True))
     p = e / e.sum(-1, keepdims=True)
     want = (p @ v).transpose(0, 1, 2, 4, 3)
