@@ -109,6 +109,98 @@ def _sdpa_pallas(qkv, bias):
     )(qkv, bias)
 
 
+def _make_bwd_kernel(wblk: int, hblk: int, hd: int, n: int):
+    """Fused backward: recompute P in VMEM, then dV/dP/dS/dQ/dK and the
+    bias-table gradient, accumulated across the (innermost) longitude grid
+    dimension into the resident dbias output block."""
+    scale = hd ** -0.5
+
+    def kernel(qkv_ref, b_ref, g_ref, dqkv_ref, db_ref):
+        blk = qkv_ref[...]                    # (wblk, 1, 3, hblk, hd, N)
+        batch = wblk * hblk
+        dt = blk.dtype
+        q = blk[:, 0, 0].reshape(batch, hd, n) * jnp.asarray(scale, dt)
+        k = blk[:, 0, 1].reshape(batch, hd, n)
+        v = blk[:, 0, 2].reshape(batch, hd, n)
+        do = g_ref[...].reshape(batch, hd, n)
+
+        # recompute softmax (fp32 statistics, like the forward)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s.reshape(wblk, 1, hblk, n, n) + b_ref[...][None]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p32 = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(batch, n, n)
+        p = p32.astype(dt)
+
+        # dV[d, kk] = sum_q P[q, kk] dO[d, q]
+        dv = jax.lax.dot_general(do, p, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        # dP[q, kk] = sum_d dO[d, q] V[d, kk]
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        # dS = P * (dP - rowsum(dP * P))
+        ds32 = p32 * (dp - jnp.sum(dp * p32, axis=-1, keepdims=True))
+        ds = ds32.astype(dt)
+
+        # dQ[d, q] = scale * sum_k K[d, kk] dS[q, kk]
+        dq = jax.lax.dot_general(k, ds, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32
+                                 ) * jnp.asarray(scale, jnp.float32)
+        # dK[d, kk] = sum_q Q[d, q] dS[q, kk]  (q already carries the scale,
+        # so divide it back out via the unscaled q: use blk directly)
+        q_raw = blk[:, 0, 0].reshape(batch, hd, n)
+        dk = jax.lax.dot_general(
+            q_raw, ds, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32
+        ) * jnp.asarray(scale, jnp.float32)
+
+        dqkv = jnp.stack([dq, dk, dv], axis=1)     # (batch, 3, hd, N)
+        dqkv = dqkv.reshape(wblk, hblk, 3, hd, n).transpose(0, 2, 1, 3, 4)
+        dqkv_ref[...] = dqkv.reshape(wblk, 1, 3, hblk, hd, n).astype(dt)
+
+        # bias gradient: accumulate dS over the longitude grid dimension
+        db = jnp.sum(ds32.reshape(wblk, 1, hblk, n, n), axis=0)
+
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        db_ref[...] += db
+
+    return kernel
+
+
+def _sdpa_pallas_bwd(qkv, bias, g):
+    nwin, ntype, _, heads, hd, n = qkv.shape
+    # smaller blocks than the forward: the backward keeps ~8 fp32
+    # (batch, N, N) intermediates live in VMEM at once
+    wblk = _pick_block(nwin, 5)
+    hblk = _pick_block(heads, 6)
+
+    spec_qkv = pl.BlockSpec((wblk, 1, 3, hblk, hd, n),
+                            lambda t, h, w: (w, t, 0, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+    spec_bias = pl.BlockSpec((1, hblk, n, n), lambda t, h, w: (t, h, 0, 0),
+                             memory_space=pltpu.VMEM)
+    spec_g = pl.BlockSpec((wblk, 1, hblk, hd, n),
+                          lambda t, h, w: (w, t, h, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    dqkv, dbias = pl.pallas_call(
+        _make_bwd_kernel(wblk, hblk, hd, n),
+        out_shape=(jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+                   jax.ShapeDtypeStruct(bias.shape, jnp.float32)),
+        grid=(ntype, heads // hblk, nwin // wblk),
+        in_specs=[spec_qkv, spec_bias, spec_g],
+        out_specs=(spec_qkv, spec_bias),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(qkv, bias, g)
+    return dqkv, dbias
+
+
 def _sdpa_reference(qkv, bias):
     """XLA fallback with identical math; drives the backward pass."""
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
@@ -132,8 +224,7 @@ def _sdpa_fwd(qkv, bias):
 
 def _sdpa_bwd(res, g):
     qkv, bias = res
-    _, vjp = jax.vjp(_sdpa_reference, qkv, bias)
-    return vjp(g)
+    return _sdpa_pallas_bwd(qkv, bias, g)
 
 
 _sdpa.defvjp(_sdpa_fwd, _sdpa_bwd)

@@ -100,3 +100,45 @@ def test_inference_cli_hierarchy(tmp_path):
     df = pd.read_csv(tmp_path / "hier" / "30" / "csv" / "rmse_surface.csv",
                      index_col=0)
     assert len(df) == 1
+
+
+def test_profile_step_cli(tmp_path):
+    from pangu_tpu.cli.profile_step import main
+    rc = main(["--tiny", "--steps", "2"])
+    assert rc == 0
+
+
+def test_parity_check_cli(tmp_path):
+    import numpy as np
+    import jax
+    from pangu_tpu.cli.parity_check import main
+    from pangu_tpu.config import TINY
+    from pangu_tpu.models import pangu
+    from pangu_tpu.data.constants import get_constants, denorm_data
+    import jax.numpy as jnp
+
+    # build frame + self-golden with the same random init -> must PASS
+    rng = np.random.default_rng(0)
+    upper = rng.normal(size=(5, TINY.levels, TINY.lat, TINY.lon)
+                       ).astype(np.float32)
+    surface = rng.normal(size=(4, TINY.lat, TINY.lon)).astype(np.float32)
+    frame = tmp_path / "frame.npz"
+    np.savez(frame, upper=upper, surface=surface)
+
+    params = pangu.init_params(jax.random.PRNGKey(0), TINY)
+    consts = {k: jnp.asarray(v) for k, v in get_constants(None, TINY).items()}
+    ou, os_ = pangu.forward(params, jnp.asarray(upper)[None],
+                            jnp.asarray(surface)[None], consts, TINY)
+    ou, os_ = denorm_data(ou, os_, consts)
+    golden = tmp_path / "golden.npz"
+    np.savez(golden, out_upper=np.asarray(ou[0]),
+             out_surface=np.asarray(os_[0]))
+
+    rc = main(["--tiny", "--frame", str(frame), "--golden", str(golden)])
+    assert rc == 0
+
+    # corrupt the golden -> must FAIL
+    np.savez(golden, out_upper=np.asarray(ou[0]) * 1.5,
+             out_surface=np.asarray(os_[0]))
+    rc = main(["--tiny", "--frame", str(frame), "--golden", str(golden)])
+    assert rc == 1
