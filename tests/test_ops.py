@@ -87,3 +87,55 @@ def test_pick_block():
     assert W._pick_block(15, 10) == 5
     assert W._pick_block(7, 10) == 7
     assert W._pick_block(13, 10) == 1
+
+
+def test_fused_wrapper_gradients_match_xla():
+    """Gradients through the fused megakernel custom_vjp == gradients
+    through the plain XLA attention."""
+    B, nlon, ntype, N, C, heads = 1, 2, 3, 144, 16, 2
+    x = jnp.asarray(RNG.normal(size=(B, nlon, ntype, N, C)).astype(np.float32))
+    p = {
+        "qkv": {"kernel": jnp.asarray(
+            RNG.normal(size=(C, 3 * C)).astype(np.float32) * 0.1),
+            "bias": jnp.asarray(RNG.normal(size=3 * C).astype(np.float32) * 0.1)},
+        "proj": {"kernel": jnp.asarray(
+            RNG.normal(size=(C, C)).astype(np.float32) * 0.1),
+            "bias": jnp.asarray(RNG.normal(size=C).astype(np.float32) * 0.1)},
+        "bias_table": jnp.asarray(
+            RNG.normal(size=(ntype, heads, N, N)).astype(np.float32) * 0.1),
+    }
+    mask = jnp.asarray(L.shifted_window_mask(4, 18, (2, 6, 12)))[:ntype]
+
+    def loss_pallas(p, x):
+        return jnp.sum(W.window_attention_pallas(p, x, heads, mask) ** 2)
+
+    def loss_xla(p, x):
+        return jnp.sum(L.earth_attention(p, x, heads, mask) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pallas, argnums=(0, 1))(p, x)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(p, x)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3), gp, gx)
+
+
+def test_fused_wrapper_lora_fallback():
+    """With LoRA leaves attached the wrapper must route through the XLA
+    dense path (which applies the low-rank update)."""
+    B, nlon, ntype, N, C, heads = 1, 1, 2, 144, 8, 2
+    x = jnp.asarray(RNG.normal(size=(B, nlon, ntype, N, C)).astype(np.float32))
+    p = {
+        "qkv": {"kernel": jnp.asarray(
+            RNG.normal(size=(C, 3 * C)).astype(np.float32) * 0.1),
+            "bias": jnp.zeros(3 * C),
+            "lora_a": jnp.asarray(
+                RNG.normal(size=(C, 2)).astype(np.float32)),
+            "lora_b": jnp.asarray(
+                RNG.normal(size=(2, 3 * C)).astype(np.float32) * 0.1),
+            "lora_scale": jnp.asarray(1.0)},
+        "proj": {"kernel": jnp.eye(C), "bias": jnp.zeros(C)},
+        "bias_table": jnp.zeros((ntype, heads, N, N)),
+    }
+    got = W.window_attention_pallas(p, x, heads, None)
+    want = L.earth_attention(p, x, heads, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
