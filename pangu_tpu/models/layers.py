@@ -301,6 +301,14 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
         xp = jnp.roll(xp, (wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
     x = xp[:, :, :H]
 
+    if (attn_impl == "pallas" and deterministic
+            and "lora_a" not in p["mlp"]["fc1"]):
+        # fused residual+LN+MLP+LN tail (token-local, one pallas kernel);
+        # training keeps the XLA tail: stochastic depth needs per-sample
+        # RNG over the whole branch
+        from pangu_tpu.ops.block_tail import fused_block_tail
+        return fused_block_tail(p, x, shortcut, fast_math=fast_math)
+
     r1, r2 = (None, None) if rng is None else tuple(jax.random.split(rng))
     x = shortcut + drop_path(layer_norm(p["norm1"], x, fast=fast_math),
                              drop_rate, r1, deterministic)

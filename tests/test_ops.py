@@ -139,3 +139,27 @@ def test_fused_wrapper_lora_fallback():
     got = W.window_attention_pallas(p, x, heads, None)
     want = L.earth_attention(p, x, heads, None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_fused_block_tail_matches_xla():
+    from pangu_tpu.ops.block_tail import fused_block_tail
+    B, Z, H, Wd, C = 1, 2, 3, 4, 16
+    attn_out = jnp.asarray(RNG.normal(size=(B, Z, H, Wd, C)).astype(np.float32))
+    shortcut = jnp.asarray(RNG.normal(size=(B, Z, H, Wd, C)).astype(np.float32))
+    p = {
+        "norm1": {"scale": jnp.asarray(RNG.normal(size=C).astype(np.float32)),
+                  "bias": jnp.asarray(RNG.normal(size=C).astype(np.float32))},
+        "norm2": {"scale": jnp.asarray(RNG.normal(size=C).astype(np.float32)),
+                  "bias": jnp.asarray(RNG.normal(size=C).astype(np.float32))},
+        "mlp": {"fc1": {"kernel": jnp.asarray(
+                    RNG.normal(size=(C, 4 * C)).astype(np.float32) * 0.1),
+                    "bias": jnp.asarray(RNG.normal(size=4 * C).astype(np.float32))},
+                "fc2": {"kernel": jnp.asarray(
+                    RNG.normal(size=(4 * C, C)).astype(np.float32) * 0.1),
+                    "bias": jnp.asarray(RNG.normal(size=C).astype(np.float32))}},
+    }
+    want = shortcut + L.layer_norm(p["norm1"], attn_out)
+    want = want + L.layer_norm(p["norm2"], L.mlp(p["mlp"], want))
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_block_tail(p, attn_out, shortcut)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
