@@ -289,13 +289,18 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
     else:
         mask = None
 
-    win = window_partition(xp, geom.window)
+    y = None
     if attn_impl == "pallas":
-        from pangu_tpu.ops.window_attention import window_attention_pallas
-        win = window_attention_pallas(p["attn"], win, geom.heads, mask)
+        # fused grid-layout kernel: partition happens inside the kernel
+        from pangu_tpu.ops.window_attention import window_attention_grid
+        y = window_attention_grid(p["attn"], xp, geom.heads, mask,
+                                  geom.window)
+    if y is not None:
+        xp = y
     else:
+        win = window_partition(xp, geom.window)
         win = earth_attention(p["attn"], win, geom.heads, mask, precision)
-    xp = window_reverse(win, geom.window, Z, hp, W)
+        xp = window_reverse(win, geom.window, Z, hp, W)
 
     if roll:
         xp = jnp.roll(xp, (wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))

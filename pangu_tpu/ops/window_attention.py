@@ -362,6 +362,166 @@ def _fused_core(heads: int):
     return fused
 
 
+# ---------------------------------------------------------------------------
+# Grid-layout fused attention: the window partition moves INTO the kernel.
+# A (z-window, lat-window) pair is a contiguous (wz, wh, W, C) box of the
+# padded token grid, so a BlockSpec can hand the kernel one window row
+# across all longitude directly — no partition/reverse transpose chains in
+# XLA at all. The in-kernel rearrangement touches only leading dims
+# (sublane-major), which Mosaic relayouts cheaply.
+# ---------------------------------------------------------------------------
+
+def _make_grid_kernel(heads: int, hd: int, wz: int, wh: int, ww: int,
+                      nlon: int, c: int):
+    scale = hd ** -0.5
+    n = wz * wh * ww
+
+    def kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+               wp_ref, bp_ref, b_ref, o_ref):
+        x = x_ref[0]                                # (wz, wh, nlon*ww, C)
+        x = x.reshape(wz, wh, nlon, ww, c)
+        x = x.transpose(2, 0, 1, 3, 4)              # (nlon, wz, wh, ww, C)
+        xf = x.reshape(nlon * n, c)
+        acc = jnp.zeros((nlon * n, c), jnp.float32)
+        sc = jnp.asarray(scale, x.dtype)
+        for h in range(heads):
+            def _proj(w_ref2, b2_ref):
+                t = jax.lax.dot_general(
+                    xf, w_ref2[h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                t = t + b2_ref[h].astype(jnp.float32)
+                return t.astype(x.dtype).reshape(nlon, n, hd)
+
+            q = _proj(wq_ref, bq_ref) * sc
+            k = _proj(wk_ref, bk_ref)
+            v = _proj(wv_ref, bv_ref)
+            s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            s = s + b_ref[0, h][None]
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+            o = jax.lax.dot_general(pr, v, (((2,), (1,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                o.astype(x.dtype).reshape(nlon * n, hd), wp_ref[h],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        y = acc + bp_ref[...][None].astype(jnp.float32)
+        y = y.reshape(nlon, wz, wh, ww, c).transpose(1, 2, 0, 3, 4)
+        o_ref[0] = y.reshape(wz, wh, nlon * ww, c).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _grid_attention_pallas(x, wq, wk, wv, bq, bk, bv, wp, bp, bias,
+                           window):
+    """x: (B, Z, Hp, W, C) padded/rolled token grid. Returns same shape."""
+    b, z, hp, w, c = x.shape
+    wz, wh, ww = window
+    heads, _, hd = wq.shape
+    nlat = hp // wh
+    nlon = w // ww
+
+    spec_x = pl.BlockSpec((1, wz, wh, w, c),
+                          lambda bb, zz, hh: (bb, zz, hh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((1, heads, wz * wh * ww, wz * wh * ww),
+                          lambda bb, zz, hh: (zz * nlat + hh, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def fullspec(shape):
+        return pl.BlockSpec(shape, lambda bb, zz, hh: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    n = wz * wh * ww
+    return pl.pallas_call(
+        _make_grid_kernel(heads, hd, wz, wh, ww, nlon, c),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b, z // wz, nlat),
+        in_specs=[spec_x,
+                  fullspec(wq.shape), fullspec(wk.shape), fullspec(wv.shape),
+                  fullspec(bq.shape), fullspec(bk.shape), fullspec(bv.shape),
+                  fullspec(wp.shape), fullspec(bp.shape), spec_b],
+        out_specs=spec_x,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * z * hp * w // n * n * c * (4 * c + 2 * n),
+            bytes_accessed=2 * x.size * x.dtype.itemsize + bias.size * 4,
+            transcendentals=b * (z // wz) * nlat * nlon * heads * n * n),
+    )(x, wq, wk, wv, bq, bk, bv, wp, bp, bias)
+
+
+@functools.lru_cache(maxsize=8)
+def _grid_core(heads: int, window):
+    """custom_vjp: grid-layout fused forward; backward = XLA partition +
+    the existing fused sdpa backward composition."""
+    wz, wh, ww = window
+
+    def ref(xg, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias):
+        from pangu_tpu.models.layers import window_partition, window_reverse
+        b, z, hp, w, c = xg.shape
+        win = window_partition(xg, window)          # (B, nlon, ntype, N, C)
+        nlon, ntype, n = win.shape[1], win.shape[2], win.shape[3]
+        x2 = win.reshape(b * nlon, ntype, n, c)
+        hd = c // heads
+        qkv = jnp.dot(x2.reshape(-1, c), qkv_kernel).reshape(
+            b * nlon, ntype, n, 3 * c) + qkv_bias
+        qkv = qkv.reshape(b * nlon, ntype, n, 3, heads, hd)
+        qkv = qkv.transpose(0, 1, 3, 4, 5, 2)
+        out = _sdpa(qkv, bias)
+        out = out.transpose(0, 1, 4, 2, 3).reshape(b * nlon, ntype, n, c)
+        out = (jnp.dot(out.reshape(-1, c), proj_kernel).reshape(
+            b, nlon, ntype, n, c) + proj_bias)
+        return window_reverse(out, window, z, hp, w)
+
+    @jax.custom_vjp
+    def fused(xg, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias):
+        return _run(xg, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias)
+
+    def _run(xg, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias):
+        c = xg.shape[-1]
+        hd = c // heads
+        dt = xg.dtype
+        qk = qkv_kernel.astype(dt)
+        wq = qk[:, :c].reshape(c, heads, hd).transpose(1, 0, 2)
+        wk = qk[:, c:2 * c].reshape(c, heads, hd).transpose(1, 0, 2)
+        wv = qk[:, 2 * c:].reshape(c, heads, hd).transpose(1, 0, 2)
+        qb = qkv_bias.astype(dt)
+        bq = qb[:c].reshape(heads, 1, hd)
+        bk = qb[c:2 * c].reshape(heads, 1, hd)
+        bv = qb[2 * c:].reshape(heads, 1, hd)
+        wp = proj_kernel.astype(dt).reshape(heads, hd, c)
+        return _grid_attention_pallas(xg, wq, wk, wv, bq, bk, bv, wp,
+                                      proj_bias.astype(dt), bias, window)
+
+    def fwd(*args):
+        return _run(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def window_attention_grid(p, xg, heads: int, mask: Optional[jax.Array],
+                          window) -> jax.Array:
+    """Fused attention on the padded/rolled (B, Z, Hp, W, C) token grid —
+    window partition happens inside the kernel. Falls back to None when
+    LoRA leaves are present (caller should use the XLA path)."""
+    if "lora_a" in p["qkv"] or "lora_a" in p["proj"]:
+        return None
+    bias = p["bias_table"].astype(jnp.float32)
+    if mask is not None:
+        bias = bias + mask[:, None]
+    return _grid_core(heads, tuple(window))(
+        xg, p["qkv"]["kernel"], p["qkv"]["bias"],
+        p["proj"]["kernel"], p["proj"]["bias"], bias)
+
+
 def window_attention_pallas(p, x, heads: int, mask: Optional[jax.Array]):
     """Drop-in replacement for layers.earth_attention: fully-fused Pallas
     attention (qkv + windowed softmax + proj). x: (B, nlon, ntype, N, C)."""

@@ -163,3 +163,62 @@ def test_fused_block_tail_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         got = fused_block_tail(p, attn_out, shortcut)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_grid_attention_matches_partitioned():
+    """window_attention_grid (in-kernel partition) == partition ->
+    earth_attention -> reverse, shifted mask included."""
+    B, Z, Hp, Wd, C, heads = 1, 4, 18, 48, 16, 2
+    window = (2, 6, 12)
+    xg = jnp.asarray(RNG.normal(size=(B, Z, Hp, Wd, C)).astype(np.float32))
+    ntype = (Z // 2) * (Hp // 6)
+    p = {
+        "qkv": {"kernel": jnp.asarray(
+            RNG.normal(size=(C, 3 * C)).astype(np.float32) * 0.1),
+            "bias": jnp.asarray(RNG.normal(size=3 * C).astype(np.float32) * 0.1)},
+        "proj": {"kernel": jnp.asarray(
+            RNG.normal(size=(C, C)).astype(np.float32) * 0.1),
+            "bias": jnp.asarray(RNG.normal(size=C).astype(np.float32) * 0.1)},
+        "bias_table": jnp.asarray(
+            RNG.normal(size=(ntype, heads, 144, 144)).astype(np.float32) * 0.1),
+    }
+    mask = jnp.asarray(L.shifted_window_mask(Z, Hp, window))
+
+    win = L.window_partition(xg, window)
+    want = L.window_reverse(L.earth_attention(p, win, heads, mask),
+                            window, Z, Hp, Wd)
+    with pltpu.force_tpu_interpret_mode():
+        got = W.window_attention_grid(p, xg, heads, mask, window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_grid_attention_gradients():
+    B, Z, Hp, Wd, C, heads = 1, 2, 6, 24, 8, 2
+    window = (2, 6, 12)
+    ntype = (Z // 2) * (Hp // 6)
+    xg = jnp.asarray(RNG.normal(size=(B, Z, Hp, Wd, C)).astype(np.float32))
+    p = {
+        "qkv": {"kernel": jnp.asarray(
+            RNG.normal(size=(C, 3 * C)).astype(np.float32) * 0.1),
+            "bias": jnp.zeros(3 * C)},
+        "proj": {"kernel": jnp.asarray(
+            RNG.normal(size=(C, C)).astype(np.float32) * 0.1),
+            "bias": jnp.zeros(C)},
+        "bias_table": jnp.asarray(
+            RNG.normal(size=(ntype, heads, 144, 144)).astype(np.float32) * 0.1),
+    }
+
+    def loss_grid(p, xg):
+        return jnp.sum(W.window_attention_grid(p, xg, heads, None, window) ** 2)
+
+    def loss_xla(p, xg):
+        win = L.window_partition(xg, window)
+        y = L.window_reverse(L.earth_attention(p, win, heads, None),
+                             window, Z, Hp, Wd)
+        return jnp.sum(y ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gg = jax.grad(loss_grid, argnums=(0, 1))(p, xg)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(p, xg)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3), gg, gx)
