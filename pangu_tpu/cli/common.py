@@ -38,6 +38,8 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="use the TINY model geometry (smoke runs)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 params/activations")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas kernels (TPU only)")
     return p
 
 
@@ -51,6 +53,9 @@ def build_config(args) -> Config:
             cfg, model=dataclasses.replace(cfg.model,
                                            param_dtype="bfloat16",
                                            compute_dtype="bfloat16"))
+    if getattr(args, "pallas", False):
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, attn_impl="pallas"))
     return cfg
 
 

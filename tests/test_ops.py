@@ -222,3 +222,27 @@ def test_grid_attention_gradients():
     gx = jax.grad(loss_xla, argnums=(0, 1))(p, xg)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3), gg, gx)
+
+
+def test_grid_attention_batch2():
+    """Batch dimension rides the grid correctly (B=2 must equal two
+    independent B=1 calls)."""
+    B, Z, Hp, Wd, C, heads = 2, 2, 6, 24, 8, 2
+    window = (2, 6, 12)
+    ntype = (Z // 2) * (Hp // 6)
+    xg = jnp.asarray(RNG.normal(size=(B, Z, Hp, Wd, C)).astype(np.float32))
+    p = {
+        "qkv": {"kernel": jnp.asarray(
+            RNG.normal(size=(C, 3 * C)).astype(np.float32) * 0.1),
+            "bias": jnp.zeros(3 * C)},
+        "proj": {"kernel": jnp.asarray(
+            RNG.normal(size=(C, C)).astype(np.float32) * 0.1),
+            "bias": jnp.zeros(C)},
+        "bias_table": jnp.asarray(
+            RNG.normal(size=(ntype, heads, 144, 144)).astype(np.float32) * 0.1),
+    }
+    with pltpu.force_tpu_interpret_mode():
+        both = W.window_attention_grid(p, xg, heads, None, window)
+        one = W.window_attention_grid(p, xg[1:], heads, None, window)
+    np.testing.assert_allclose(np.asarray(both[1]), np.asarray(one[0]),
+                               atol=1e-5)
