@@ -291,10 +291,14 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
 
     y = None
     if attn_impl == "pallas":
-        # fused grid-layout kernel: partition happens inside the kernel
-        from pangu_tpu.ops.window_attention import window_attention_grid
-        y = window_attention_grid(p["attn"], xp, geom.heads, mask,
-                                  geom.window)
+        from pangu_tpu.parallel.sharding import multi_device_mesh_active
+        if not multi_device_mesh_active():
+            # fused grid-layout kernel: partition happens inside the kernel.
+            # (Under a >1-device mesh GSPMD cannot partition a pallas_call,
+            # so the sharded XLA path below is used instead.)
+            from pangu_tpu.ops.window_attention import window_attention_grid
+            y = window_attention_grid(p["attn"], xp, geom.heads, mask,
+                                      geom.window)
     if y is not None:
         xp = y
     else:
@@ -306,8 +310,10 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
         xp = jnp.roll(xp, (wz // 2, wh // 2, ww // 2), axis=(1, 2, 3))
     x = xp[:, :, :H]
 
+    from pangu_tpu.parallel.sharding import multi_device_mesh_active
     if (attn_impl == "pallas" and deterministic
-            and "lora_a" not in p["mlp"]["fc1"]):
+            and "lora_a" not in p["mlp"]["fc1"]
+            and not multi_device_mesh_active()):
         # fused residual+LN+MLP+LN tail (token-local, one pallas kernel);
         # training keeps the XLA tail: stochastic depth needs per-sample
         # RNG over the whole branch

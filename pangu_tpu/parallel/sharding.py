@@ -54,6 +54,19 @@ def shard_tokens(x):
     return constrain(x, TOKEN_SPEC)
 
 
+def multi_device_mesh_active() -> bool:
+    """True when running under a mesh with more than one device — used to
+    gate single-device-only code paths (e.g. Pallas kernels, which GSPMD
+    cannot partition; the XLA path shards cleanly instead)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    shape = getattr(mesh, "shape", None) or {}
+    try:
+        sizes = list(shape.values())
+    except AttributeError:
+        sizes = list(shape)
+    return any(s > 1 for s in sizes)
+
+
 # ---- parameter / optimizer-state layout ----------------------------------
 
 def param_spec(path: tuple, leaf) -> P:

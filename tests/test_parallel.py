@@ -115,3 +115,26 @@ def test_param_sharding_specs(problem):
     # layernorms replicated
     n1 = sh["stages"][0]["blocks"][0]["norm1"]["scale"]
     assert n1.spec == jax.sharding.PartitionSpec()
+
+
+def test_pallas_config_falls_back_under_mesh(problem):
+    """attn_impl=pallas under a >1-device mesh must route through the
+    sharded XLA path (GSPMD cannot partition pallas_call) and match the
+    XLA numerics exactly."""
+    params, consts, batch = problem
+    cfg_p = dataclasses.replace(CFG, attn_impl="pallas")
+    u = jnp.asarray(batch["upper"])
+    s = jnp.asarray(batch["surface"])
+    ref = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts, CFG))(
+        params, u, s)
+
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=2, tp=2))
+    sp = jax.device_put(params, S.param_shardings(mesh, params))
+    bsh = S.batch_shardings(mesh)
+    su = jax.device_put(u, bsh["upper"])
+    ss = jax.device_put(s, bsh["surface"])
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts,
+                                                    cfg_p))(sp, su, ss)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=2e-4)
