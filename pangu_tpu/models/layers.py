@@ -293,9 +293,19 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
     if attn_impl == "pallas":
         from pangu_tpu.parallel.sharding import multi_device_mesh_active
         if not multi_device_mesh_active():
-            # fused grid-layout kernel: partition happens inside the kernel.
-            # (Under a >1-device mesh GSPMD cannot partition a pallas_call,
-            # so the sharded XLA path below is used instead.)
+            # Fused kernels (single device; under a >1-device mesh GSPMD
+            # cannot partition a pallas_call, so the sharded XLA path runs
+            # instead). For unshifted deterministic blocks the WHOLE block
+            # (attention + tail) is one kernel; the padded rows of the
+            # residual base are cropped below, so using xp as shortcut is
+            # exact.
+            if not roll and deterministic:
+                from pangu_tpu.ops.window_attention import block_noroll_fused
+                yb = block_noroll_fused(p, xp, geom.heads, geom.window,
+                                        fast_math)
+                if yb is not None:
+                    return yb[:, :, :H]
+            # otherwise: fused grid attention, partition inside the kernel
             from pangu_tpu.ops.window_attention import window_attention_grid
             y = window_attention_grid(p["attn"], xp, geom.heads, mask,
                                       geom.window)

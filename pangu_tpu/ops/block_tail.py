@@ -27,44 +27,55 @@ from jax.experimental.pallas import tpu as pltpu
 _CHUNK = 2048  # tokens per program (sublane-aligned)
 
 
-def _make_tail_kernel(fast_math: bool, eps: float = 1e-5):
-    def ln(x, scale, bias):
-        xf = x if fast_math else x.astype(jnp.float32)
-        mu = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-        y = (xf - mu) * jax.lax.rsqrt(var + eps)
-        return (y * scale.astype(y.dtype) + bias.astype(y.dtype)
-                ).astype(x.dtype)
+def _kernel_ln(x, scale, bias, fast_math: bool, eps: float = 1e-5):
+    xf = x if fast_math else x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(y.dtype) + bias.astype(y.dtype)).astype(x.dtype)
 
-    def erf(x):
-        # Mosaic has no erf primitive; Abramowitz & Stegun 7.1.26
-        # (max abs error 1.5e-7 — far below bf16 resolution)
-        a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
-        a4, a5, p_ = -1.453152027, 1.061405429, 0.3275911
-        s = jnp.sign(x)
-        ax = jnp.abs(x)
-        t = 1.0 / (1.0 + p_ * ax)
-        poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
-        return s * (1.0 - poly * jnp.exp(-ax * ax))
 
-    def gelu(x):
-        if fast_math:
-            return jax.nn.gelu(x, approximate=True)
-        xf = x.astype(jnp.float32)
-        return (xf * 0.5 * (1.0 + erf(xf * jnp.float32(0.7071067811865476)))
-                ).astype(x.dtype)
+def _kernel_erf(x):
+    # Mosaic has no erf primitive; Abramowitz & Stegun 7.1.26
+    # (max abs error 1.5e-7 — far below bf16 resolution)
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p_ = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p_ * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
 
+
+def _kernel_gelu(x, fast_math: bool):
+    if fast_math:
+        return jax.nn.gelu(x, approximate=True)
+    xf = x.astype(jnp.float32)
+    return (xf * 0.5 * (1.0 + _kernel_erf(
+        xf * jnp.float32(0.7071067811865476)))).astype(x.dtype)
+
+
+def tail_math(a, s, n1s, n1b, n2s, n2b, w1, b1, w2, b2, fast_math: bool):
+    """The block tail on plain (tokens, C) arrays (usable inside any
+    kernel): x1 = s + LN1(a); out = x1 + LN2(MLP(x1))."""
+    x1 = s + _kernel_ln(a, n1s, n1b, fast_math)
+    h = jax.lax.dot_general(x1, w1, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = _kernel_gelu((h + b1[None].astype(jnp.float32)).astype(x1.dtype),
+                     fast_math)
+    y = jax.lax.dot_general(h, w2, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y = (y + b2[None].astype(jnp.float32)).astype(x1.dtype)
+    return x1 + _kernel_ln(y, n2s, n2b, fast_math)
+
+
+def _make_tail_kernel(fast_math: bool):
     def kernel(a_ref, s_ref, n1s_ref, n1b_ref, n2s_ref, n2b_ref,
                w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
-        x1 = s_ref[...] + ln(a_ref[...], n1s_ref[...], n1b_ref[...])
-        h = jax.lax.dot_general(x1, w1_ref[...], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        h = gelu((h + b1_ref[...][None].astype(jnp.float32)
-                  ).astype(x1.dtype))
-        y = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        y = (y + b2_ref[...][None].astype(jnp.float32)).astype(x1.dtype)
-        o_ref[...] = x1 + ln(y, n2s_ref[...], n2b_ref[...])
+        o_ref[...] = tail_math(
+            a_ref[...], s_ref[...], n1s_ref[...], n1b_ref[...],
+            n2s_ref[...], n2b_ref[...], w1_ref[...], b1_ref[...],
+            w2_ref[...], b2_ref[...], fast_math)
 
     return kernel
 

@@ -507,6 +507,163 @@ def _grid_core(heads: int, window):
     return fused
 
 
+# ---------------------------------------------------------------------------
+# Whole-block megakernel for no-roll blocks: grid attention + block tail
+# (residual + LN + MLP + LN) in one pallas_call. Only valid when the block
+# is unshifted — the residual base then aligns with the attention grid
+# (the rolled variant would need the roll-back between attention and
+# residual). Saves three full-grid HBM passes per block.
+# ---------------------------------------------------------------------------
+
+def _make_block_kernel(heads: int, hd: int, wz: int, wh: int, ww: int,
+                       nlon: int, c: int, hidden: int, fast_math: bool):
+    attn_kernel_body = _make_grid_kernel(heads, hd, wz, wh, ww, nlon, c)
+    from pangu_tpu.ops.block_tail import tail_math
+
+    def kernel(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref,
+               wp_ref, bp_ref, b_ref,
+               n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+               w1_ref, b1_ref, w2_ref, b2_ref, o_ref, a_scratch):
+        # attention into VMEM scratch (same math as the grid kernel)
+        attn_kernel_body(x_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
+                         bv_ref, wp_ref, bp_ref, b_ref, a_scratch)
+        tokens = wz * wh * nlon * ww
+        a = a_scratch[0].reshape(tokens, c)
+        s = x_ref[0].reshape(tokens, c)
+        y = tail_math(a, s, n1s_ref[...], n1b_ref[...], n2s_ref[...],
+                      n2b_ref[...], w1_ref[...], b1_ref[...], w2_ref[...],
+                      b2_ref[...], fast_math)
+        o_ref[0] = y.reshape(wz, wh, nlon * ww, c)
+
+    return kernel
+
+
+def _block_fused_pallas(xg, wq, wk, wv, bq, bk, bv, wp, bp, bias,
+                        n1s, n1b, n2s, n2b, w1, b1, w2, b2,
+                        window, fast_math):
+    b, z, hp, w, c = xg.shape
+    wz, wh, ww = window
+    heads, _, hd = wq.shape
+    nlat = hp // wh
+    nlon = w // ww
+    hidden = w1.shape[-1]
+
+    spec_x = pl.BlockSpec((1, wz, wh, w, c),
+                          lambda bb, zz, hh: (bb, zz, hh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((1, heads, wz * wh * ww, wz * wh * ww),
+                          lambda bb, zz, hh: (zz * nlat + hh, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def fullspec(shape):
+        return pl.BlockSpec(shape, lambda bb, zz, hh: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _make_block_kernel(heads, hd, wz, wh, ww, nlon, c, hidden,
+                           fast_math),
+        out_shape=jax.ShapeDtypeStruct(xg.shape, xg.dtype),
+        grid=(b, z // wz, nlat),
+        in_specs=[spec_x,
+                  fullspec(wq.shape), fullspec(wk.shape), fullspec(wv.shape),
+                  fullspec(bq.shape), fullspec(bk.shape), fullspec(bv.shape),
+                  fullspec(wp.shape), fullspec(bp.shape), spec_b,
+                  fullspec(n1s.shape), fullspec(n1b.shape),
+                  fullspec(n2s.shape), fullspec(n2b.shape),
+                  fullspec(w1.shape), fullspec(b1.shape),
+                  fullspec(w2.shape), fullspec(b2.shape)],
+        out_specs=spec_x,
+        scratch_shapes=[pltpu.VMEM((1, wz, wh, w, c), xg.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(xg, wq, wk, wv, bq, bk, bv, wp, bp, bias,
+      n1s, n1b, n2s, n2b, w1, b1, w2, b2)
+
+
+@functools.lru_cache(maxsize=8)
+def _block_core(heads: int, window, fast_math: bool):
+    """custom_vjp whole-block (no-roll) kernel; backward through the XLA
+    composition (attention ref + tail)."""
+
+    def ref(xg, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias,
+            n1s, n1b, n2s, n2b, w1, b1, w2, b2):
+        # direct composition (partition -> sdpa -> reverse -> tail)
+        from pangu_tpu.models import layers as L
+        from pangu_tpu.models.layers import window_partition, window_reverse
+        bsz, z, hp, w, c = xg.shape
+        win = window_partition(xg, window)
+        nlon, ntype, n = win.shape[1], win.shape[2], win.shape[3]
+        hd = c // heads
+        qkv = jnp.dot(win.reshape(-1, c), qkv_kernel).reshape(
+            bsz * nlon, ntype, n, 3 * c) + qkv_bias
+        qkv = qkv.reshape(bsz * nlon, ntype, n, 3, heads, hd)
+        qkv = qkv.transpose(0, 1, 3, 4, 5, 2)
+        out = _sdpa(qkv, bias)
+        out = out.transpose(0, 1, 4, 2, 3).reshape(bsz, nlon, ntype, n, c)
+        out = (jnp.dot(out.reshape(-1, c), proj_kernel).reshape(
+            bsz, nlon, ntype, n, c) + proj_bias)
+        a = window_reverse(out, window, z, hp, w)
+        x1 = xg + L.layer_norm({"scale": n1s, "bias": n1b}, a,
+                               fast=fast_math)
+        h = jax.nn.gelu(jnp.dot(x1.reshape(-1, c), w1) + b1,
+                        approximate=fast_math)
+        y = (jnp.dot(h, w2) + b2).reshape(x1.shape)
+        return x1 + L.layer_norm({"scale": n2s, "bias": n2b}, y,
+                                 fast=fast_math)
+
+    @jax.custom_vjp
+    def fused(*args):
+        return _run(*args)
+
+    def _run(xg, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias,
+             n1s, n1b, n2s, n2b, w1, b1, w2, b2):
+        c = xg.shape[-1]
+        hd = c // heads
+        dt = xg.dtype
+        qk = qkv_kernel.astype(dt)
+        wq = qk[:, :c].reshape(c, heads, hd).transpose(1, 0, 2)
+        wk = qk[:, c:2 * c].reshape(c, heads, hd).transpose(1, 0, 2)
+        wv = qk[:, 2 * c:].reshape(c, heads, hd).transpose(1, 0, 2)
+        qb = qkv_bias.astype(dt)
+        return _block_fused_pallas(
+            xg, wq, wk, wv,
+            qb[:c].reshape(heads, 1, hd), qb[c:2 * c].reshape(heads, 1, hd),
+            qb[2 * c:].reshape(heads, 1, hd),
+            proj_kernel.astype(dt).reshape(heads, hd, c),
+            proj_bias.astype(dt), bias,
+            n1s.astype(dt), n1b.astype(dt), n2s.astype(dt), n2b.astype(dt),
+            w1.astype(dt), b1.astype(dt), w2.astype(dt), b2.astype(dt),
+            window, fast_math)
+
+    def fwd(*args):
+        return _run(*args), args
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def block_noroll_fused(p, xg, heads: int, window,
+                       fast_math: bool = False) -> Optional[jax.Array]:
+    """Whole no-roll block (attention + tail) on the padded token grid.
+    Returns None when LoRA leaves are present."""
+    if ("lora_a" in p["attn"]["qkv"] or "lora_a" in p["attn"]["proj"]
+            or "lora_a" in p["mlp"]["fc1"]):
+        return None
+    bias = p["attn"]["bias_table"].astype(jnp.float32)
+    return _block_core(heads, tuple(window), fast_math)(
+        xg, p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
+        p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"], bias,
+        p["norm1"]["scale"], p["norm1"]["bias"],
+        p["norm2"]["scale"], p["norm2"]["bias"],
+        p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+        p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"])
+
+
 def window_attention_grid(p, xg, heads: int, mask: Optional[jax.Array],
                           window) -> jax.Array:
     """Fused attention on the padded/rolled (B, Z, Hp, W, C) token grid —

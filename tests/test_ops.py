@@ -246,3 +246,30 @@ def test_grid_attention_batch2():
         one = W.window_attention_grid(p, xg[1:], heads, None, window)
     np.testing.assert_allclose(np.asarray(both[1]), np.asarray(one[0]),
                                atol=1e-5)
+
+
+def test_block_noroll_fused_matches_xla_block():
+    """Whole-block no-roll kernel == pad -> attention -> crop -> tail via
+    the XLA path, at the earth_block level."""
+    import dataclasses
+    from pangu_tpu.config import TINY
+    from pangu_tpu.models import pangu
+    from pangu_tpu.data.constants import synthetic_constants
+
+    cfg_x = dataclasses.replace(TINY, remat=False, attn_impl="xla")
+    g = cfg_x.stage(0)
+    params = pangu.init_params(jax.random.PRNGKey(3), cfg_x)
+    bp = params["stages"][0]["blocks"][0]
+    x = jnp.asarray(RNG.normal(size=(1, g.z, g.h, g.w, g.dim)
+                               ).astype(np.float32))
+    want = L.earth_block(bp, x, geom=g, roll=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = L.earth_block(bp, x, geom=g, roll=False, attn_impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+    # shifted block goes through grid attention + fused tail instead
+    want_r = L.earth_block(bp, x, geom=g, roll=True)
+    with pltpu.force_tpu_interpret_mode():
+        got_r = L.earth_block(bp, x, geom=g, roll=True, attn_impl="pallas")
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=2e-4)
