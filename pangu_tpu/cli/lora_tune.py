@@ -56,7 +56,8 @@ def main(argv=None):
     base = common.load_params(args, cfg)
     import numpy as np
     params = lora.init_lora(jax.random.PRNGKey(cfg.train.seed), base,
-                            rank=rank, alpha=cfg.train.lora_alpha)
+                            rank=rank, alpha=cfg.train.lora_alpha,
+                            dropout=cfg.train.lora_dropout)
     # host snapshot for the post-train audit (device buffers get donated)
     init_snapshot = jax.tree.map(np.asarray, params)
     params = jax.device_put(params, S.param_shardings(mesh, params))
@@ -69,10 +70,9 @@ def main(argv=None):
     ckpt = Checkpointer(out)
 
     with jax.set_mesh(mesh):
-        train_step = jax.jit(T.make_train_step(cfg.model, cfg.train,
-                                               constants, tx),
-                             donate_argnums=0)
-        eval_step = jax.jit(T.make_eval_step(cfg.model, cfg.train, constants))
+        train_step = T.make_train_step(cfg.model, cfg.train, constants, tx,
+                                       donate=True)
+        eval_step = T.make_eval_step(cfg.model, cfg.train, constants)
 
         def limit(it, n):
             for i, b in enumerate(it):

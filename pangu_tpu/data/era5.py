@@ -284,31 +284,45 @@ class Loader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def q_put(item) -> bool:
+            # bounded put that re-checks stop: when the consumer abandons
+            # the epoch early (--limit/--smoke), a plain put() would block
+            # forever and leak this thread + its worker pool
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
+            pool = cf.ThreadPoolExecutor(self.num_workers)
             try:
-                with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                    futures = [pool.submit(self.dataset.__getitem__, i)
-                               for i in indices]
-                    group = []
-                    for fut in futures:
-                        if stop.is_set():
-                            return
-                        group.append(fut.result())
-                        if len(group) == self.batch_size:
-                            batch = batch_samples(group)
-                            if self.shard_fn is not None:
-                                batch = self.shard_fn(batch)
-                            out_q.put(batch)
-                            group = []
-                    if group and not self.drop_last:
+                futures = [pool.submit(self.dataset.__getitem__, i)
+                           for i in indices]
+                group = []
+                for fut in futures:
+                    if stop.is_set():
+                        return
+                    group.append(fut.result())
+                    if len(group) == self.batch_size:
                         batch = batch_samples(group)
                         if self.shard_fn is not None:
                             batch = self.shard_fn(batch)
-                        out_q.put(batch)
+                        if not q_put(batch):
+                            return
+                        group = []
+                if group and not self.drop_last:
+                    batch = batch_samples(group)
+                    if self.shard_fn is not None:
+                        batch = self.shard_fn(batch)
+                    q_put(batch)
             except BaseException as e:  # surface loader errors to consumer
-                out_q.put(e)
+                q_put(e)
             finally:
-                out_q.put(None)
+                pool.shutdown(wait=False, cancel_futures=True)
+                q_put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -343,11 +357,19 @@ def device_put_fn(mesh=None):
     bsh_nodp = {k: NamedSharding(mesh, P(None, *s.spec[1:]))
                 for k, s in bsh.items()}
 
+    multi_host = jax.process_count() > 1
+
     def put(batch):
         out = {}
         for k, v in batch.items():
             if k not in bsh:
                 out[k] = v
+            elif multi_host:
+                # each process holds only ITS shard of the global batch
+                # (Loader slices indices by process_index) — assemble the
+                # global array from per-process local data, the role of
+                # the reference's DistributedSampler (finetune_fully.py:75)
+                out[k] = jax.make_array_from_process_local_data(bsh[k], v)
             elif v.shape[0] % dp == 0:
                 out[k] = jax.device_put(v, bsh[k])
             else:

@@ -99,15 +99,23 @@ def create_train_state(params, tx) -> TrainState:
 
 def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, constants,
                     tx: optax.GradientTransformation,
-                    forward_fn: Callable = pangu.forward) -> Callable:
-    """Build the pure train step: (state, batch, rng) -> (state, metrics).
+                    forward_fn: Callable = pangu.forward, *,
+                    jit: bool = True, donate: bool = False) -> Callable:
+    """Build the train step: (state, batch, rng) -> (state, metrics).
 
     ``batch`` is a dict with upper/surface/target_upper/target_surface in
     raw physical units; target normalisation happens on device
     (models/pangu_sample.py:57).
+
+    The returned function is ALREADY jitted (with ``donate_argnums=0``
+    when ``donate``) and must not be wrapped in ``jax.jit`` again: the
+    constants are threaded through the jit boundary as a traced argument —
+    re-jitting a closure over them would inline the ~67 MB constant fields
+    into the program as literals. ``jit=False`` returns the raw pure
+    function (constants closed over) for tests/composition.
     """
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, constants):
         out_u, out_s = forward_fn(params, batch["upper"], batch["surface"],
                                   constants, cfg, rng=rng,
                                   deterministic=False)
@@ -115,9 +123,9 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, constants,
                                  batch["target_surface"], constants)
         return weighted_l1_loss(out_u, out_s, tgt_u, tgt_s, tcfg)
 
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, batch, rng, constants):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng)
+            state.params, batch, rng, constants)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, **aux,
@@ -125,15 +133,21 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, constants,
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), metrics
 
-    return train_step
+    if not jit:
+        return lambda state, batch, rng: train_step(state, batch, rng,
+                                                    constants)
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return lambda state, batch, rng: jitted(state, batch, rng, constants)
 
 
 def make_eval_step(cfg: ModelConfig, tcfg: TrainConfig, constants,
-                   forward_fn: Callable = pangu.forward) -> Callable:
+                   forward_fn: Callable = pangu.forward, *,
+                   jit: bool = True) -> Callable:
     """Validation loss step (models/pangu_sample.py:102-130): deterministic
-    forward + the same weighted L1 against normalised targets."""
+    forward + the same weighted L1 against normalised targets. Jitted with
+    constants as a traced argument (see make_train_step)."""
 
-    def eval_step(params, batch):
+    def eval_step(params, batch, constants):
         out_u, out_s = forward_fn(params, batch["upper"], batch["surface"],
                                   constants, cfg, deterministic=True)
         tgt_u, tgt_s = norm_data(batch["target_upper"],
@@ -141,7 +155,10 @@ def make_eval_step(cfg: ModelConfig, tcfg: TrainConfig, constants,
         loss, aux = weighted_l1_loss(out_u, out_s, tgt_u, tgt_s, tcfg)
         return {"loss": loss, **aux}
 
-    return eval_step
+    if not jit:
+        return lambda params, batch: eval_step(params, batch, constants)
+    jitted = jax.jit(eval_step)
+    return lambda params, batch: jitted(params, batch, constants)
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +217,12 @@ def train_loop(cfg: Config, state: TrainState, train_step, eval_step,
 
             if val_loss < best_loss:
                 best_loss = val_loss
-                best_params = jax.tree.map(lambda x: x, state.params)
+                # snapshot OFF-device: callers jit train_step with
+                # donate_argnums=0, so keeping references to the live
+                # buffers would leave best_params pointing at deleted
+                # arrays after the next step (host copy = ~1.3 GB, paid
+                # only on improvement)
+                best_params = jax.device_get(state.params)
                 stale = 0
                 if checkpointer is not None:
                     checkpointer.save_best(state)

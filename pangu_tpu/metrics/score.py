@@ -81,7 +81,9 @@ def top_quantiles_error(pred, target, qs: int = 100, qlim: int = 3,
     qtile = 1.0 - jnp.logspace(-qlim, -qcut, num=qs)
     p_tar = jnp.quantile(target.reshape(n, c, -1), qtile, axis=-1)
     p_pred = jnp.quantile(pred.reshape(n, c, -1), qtile, axis=-1)
-    return jnp.mean(p_pred - p_tar, axis=1)
+    # mean over the quantile axis (axis 0 of the (qs, n, c) stack) ->
+    # (n, c), matching top_quantiles_error_torch (era5_data/score.py:162)
+    return jnp.mean(p_pred - p_tar, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=())

@@ -29,7 +29,7 @@ LINEAR_SITES: Tuple[str, ...] = ("qkv", "proj", "fc1", "fc2",
 # fully-trained extra modules (peft modules_to_save, lora_tune.py:134)
 MODULES_TO_SAVE: Tuple[str, ...] = ("patch_recovery",)
 
-LORA_KEYS = ("lora_a", "lora_b", "lora_scale")
+LORA_KEYS = ("lora_a", "lora_b", "lora_scale", "lora_drop")
 
 
 def _is_dense(node) -> bool:
@@ -72,10 +72,14 @@ def _get(tree, path):
     return tree
 
 
-def init_lora(rng, params, *, rank: int = 16, alpha: float = 16.0) -> Dict:
+def init_lora(rng, params, *, rank: int = 16, alpha: float = 16.0,
+              dropout: float = 0.0) -> Dict:
     """Attach LoRA leaves to every target dense dict (in place on a copied
     tree). A ~ kaiming-uniform, B = 0 so the initial model is unchanged —
-    the same init contract peft uses."""
+    the same init contract peft uses. ``dropout`` > 0 stores a
+    ``lora_drop`` rate leaf; ``layers.dense`` applies it to the LoRA-branch
+    input during training (peft LoraConfig(lora_dropout=...) semantics,
+    finetune/lora_tune.py:133)."""
     params = jax.tree.map(lambda x: x, params)  # shallow structural copy
     for path in _dense_sites(params):
         site = _get(params, path)
@@ -88,6 +92,8 @@ def init_lora(rng, params, *, rank: int = 16, alpha: float = 16.0) -> Dict:
         site["lora_b"] = jnp.zeros((rank, d_out), site["kernel"].dtype)
         site["lora_scale"] = jnp.asarray(alpha / rank,
                                          site["kernel"].dtype)
+        if dropout > 0.0:
+            site["lora_drop"] = jnp.asarray(dropout, jnp.float32)
     return params
 
 
@@ -102,7 +108,7 @@ def merge_lora(params) -> Dict:
                               + (node["lora_a"] @ node["lora_b"])
                               * node["lora_scale"])
             for k in LORA_KEYS:
-                node.pop(k)
+                node.pop(k, None)   # lora_drop only exists when dropout>0
         elif isinstance(node, dict):
             for v in node.values():
                 rec(v)
@@ -144,7 +150,7 @@ def trainable_mask(params) -> Any:
         names = [p for p in path if isinstance(p, str)]
         if any(n in MODULES_TO_SAVE for n in names):
             return True
-        return path[-1] in LORA_KEYS and path[-1] != "lora_scale"
+        return path[-1] in ("lora_a", "lora_b")
 
     return rec(params, ())
 

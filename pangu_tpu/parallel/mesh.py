@@ -29,15 +29,44 @@ from pangu_tpu.config import MeshConfig
 AXES = ("dp", "sp", "tp")
 
 
-def initialize_distributed() -> None:
-    """Multi-host bring-up (idempotent). Reads the standard cluster env
-    (coordinator address, process id/count) like ``jax.distributed`` expects;
-    the SLURM/env-var launcher logic of the reference (utils_dist.py:24-59)
-    is subsumed by JAX's built-in cluster autodetection."""
-    if jax.process_count() > 1:
-        return  # already initialised
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+_DISTRIBUTED_INITIALIZED = False
+
+
+def _should_initialize(environ=None) -> bool:
+    """True when the environment describes a multi-process launch: an
+    explicit coordinator address (the reference's env-var launcher,
+    utils_dist.py:24-28) or a multi-task SLURM allocation (its SLURM
+    launcher, utils_dist.py:31-59 — JAX's cluster autodetection derives
+    the coordinator from SLURM_* itself)."""
+    env = os.environ if environ is None else environ
+    if ("JAX_COORDINATOR_ADDRESS" in env or "COORDINATOR_ADDRESS" in env):
+        return True
+    try:
+        return int(env.get("SLURM_NTASKS", "1")) > 1
+    except ValueError:
+        return False
+
+
+def initialize_distributed(environ=None) -> None:
+    """Multi-host bring-up (idempotent). MUST be called before anything
+    touches the backend: ``jax.devices()``/``jax.process_count()``
+    initialise the *local* backend, after which
+    ``jax.distributed.initialize()`` is too late — so this guards with a
+    module flag plus the distributed client state, never with a backend
+    query."""
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return
+    try:  # already initialised elsewhere (e.g. by a launcher wrapper)?
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            _DISTRIBUTED_INITIALIZED = True
+            return
+    except Exception:
+        pass
+    if _should_initialize(environ):
         jax.distributed.initialize()
+        _DISTRIBUTED_INITIALIZED = True
 
 
 def build_mesh(cfg: MeshConfig, devices: Optional[Sequence] = None) -> Mesh:
@@ -81,4 +110,12 @@ def auto_mesh_config(n_devices: int, *, lon_windows: int = 30,
                 if best is None or key > best[0]:
                     best = (key, MeshConfig(dp=dp, sp=sp, tp=tp))
     assert best is not None
+    if best[1].size < n_devices:
+        import logging
+        logging.getLogger("pangu_tpu").warning(
+            "auto_mesh_config: no (dp,sp,tp) factorisation uses all "
+            "%d devices (batch=%d, lon_windows=%d, heads=%d); using %s "
+            "= %d devices — %d idle. Pick a batch size that factors.",
+            n_devices, batch, lon_windows, max_heads, best[1], best[1].size,
+            n_devices - best[1].size)
     return best[1]

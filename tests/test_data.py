@@ -204,3 +204,30 @@ def test_fastpack_native_kernels():
     np.testing.assert_allclose(fp.normalize(x, m, s),
                                (x - m[..., None, None]) / s[..., None, None],
                                atol=1e-5)
+
+
+def test_loader_early_abandon_reaps_producer():
+    """Abandoning an epoch iterator mid-way (--limit/--smoke) must not
+    leak the producer thread: the bounded q_put re-checks the stop event
+    and the worker pool cancels queued decodes."""
+    import threading
+    import time as _time
+
+    dcfg = DataConfig(train_start="20150101", train_end="20150130",
+                      train_freq="12h", horizon=24)
+    ds = era5.SyntheticEra5Dataset(dcfg, "train", mcfg=TINY)
+    loader = era5.Loader(ds, batch_size=1, num_workers=2, prefetch=1)
+
+    before = {t.ident for t in threading.enumerate()}
+    it = loader.epoch(0)
+    next(it)          # consume one batch, then abandon
+    it.close()
+
+    deadline = _time.time() + 10.0
+    while _time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not extra:
+            break
+        _time.sleep(0.05)
+    assert not extra, f"leaked threads: {extra}"

@@ -172,12 +172,16 @@ def test_qkv_head_split_matches_torch_layout():
          "proj": {"kernel": jnp.eye(C), "bias": jnp.zeros(C)},
          "bias_table": jnp.zeros((1, heads, 4, 4))}
     out = np.asarray(L.earth_attention(p, x, heads, None))
-    # with q=k=v=x and zero bias, attention output is a convex combination of
-    # rows of x; check it stays in the row span (softmax(xx^T) @ x)
+    # the identity-block kernel makes q = k = v = x per head IFF the head
+    # split picks torch's columns; then out_h = softmax(x_h x_h^T / sqrt(hd)) x_h
     xn = np.asarray(x)[0, 0, 0]
-    a = (xn / np.sqrt(hd)) @ xn.T  # per-head would differ; just sanity-check shape
-    assert out.shape == x.shape
-    assert np.isfinite(out).all()
+    want = np.zeros_like(xn)
+    for h in range(heads):
+        xh = xn[:, h * hd:(h + 1) * hd]
+        a = (xh / np.sqrt(hd)) @ xh.T
+        e = np.exp(a - a.max(-1, keepdims=True))
+        want[:, h * hd:(h + 1) * hd] = (e / e.sum(-1, keepdims=True)) @ xh
+    np.testing.assert_allclose(out[0, 0, 0], want, atol=1e-5)
 
 
 def test_down_up_sample_shapes():

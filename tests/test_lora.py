@@ -58,7 +58,7 @@ def test_masked_training_updates_only_lora_and_output():
     mask = lora.trainable_mask(params)
     tx = T.make_optimizer(tcfg, steps_per_epoch=100, trainable_mask=mask)
     state = T.create_train_state(params, tx)
-    step = jax.jit(T.make_train_step(CFG, tcfg, consts, tx))
+    step = T.make_train_step(CFG, tcfg, consts, tx)
     for i in range(2):
         state, m = step(state, batch, jax.random.PRNGKey(i))
         assert np.isfinite(float(m["loss"]))
@@ -108,3 +108,57 @@ def test_merge_and_strip():
                           CFG)
     np.testing.assert_allclose(np.asarray(out_s[0]), np.asarray(out_b[0]),
                                atol=1e-6)
+
+
+def test_lora_dropout_applied_in_training():
+    """lora_dropout stores a rate leaf and layers.dense drops the
+    LoRA-branch input when an rng is threaded (peft
+    LoraConfig(lora_dropout=...) semantics, lora_tune.py:133)."""
+    from pangu_tpu.models import layers as L
+
+    rng = np.random.default_rng(3)
+    p = {"kernel": jnp.zeros((8, 4), jnp.float32),
+         "bias": jnp.zeros((4,), jnp.float32),
+         "lora_a": jnp.asarray(rng.normal(size=(8, 2)).astype(np.float32)),
+         "lora_b": jnp.asarray(rng.normal(size=(2, 4)).astype(np.float32)),
+         "lora_scale": jnp.asarray(1.0, jnp.float32),
+         "lora_drop": jnp.asarray(0.5, jnp.float32)}
+    x = jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32))
+
+    y_det = L.dense(p, x)                       # eval: no dropout
+    np.testing.assert_allclose(
+        np.asarray(y_det),
+        np.asarray(x @ p["lora_a"] @ p["lora_b"]), atol=1e-5)
+
+    y1 = L.dense(p, x, rng=jax.random.PRNGKey(0))
+    y2 = L.dense(p, x, rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(y1), np.asarray(y_det))
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+    # init_lora wires the leaf; merge_lora strips it
+    base = pangu.init_params(jax.random.PRNGKey(0), CFG)
+    lp = lora.init_lora(jax.random.PRNGKey(1), base, dropout=0.1)
+    site = lp["stages"][0]["blocks"][0]["attn"]["qkv"]
+    assert float(site["lora_drop"]) == np.float32(0.1)
+    merged = lora.merge_lora(lp)
+    msite = merged["stages"][0]["blocks"][0]["attn"]["qkv"]
+    assert "lora_drop" not in msite and "lora_a" not in msite
+    # rate leaf is frozen, factors trainable
+    mask = lora.trainable_mask(lp)
+    s = mask["stages"][0]["blocks"][0]["attn"]["qkv"]
+    assert s["lora_a"] and s["lora_b"]
+    assert not s["lora_drop"] and not s["lora_scale"]
+
+
+def test_lora_dropout_training_step_runs():
+    """A full train step through the model with lora_drop leaves present
+    (non-deterministic path threads rngs to every LoRA site)."""
+    consts, base, batch = _problem()
+    params = lora.init_lora(jax.random.PRNGKey(1), base, dropout=0.2)
+    tcfg = TrainConfig(batch_size=1, lora_dropout=0.2)
+    tx = T.make_optimizer(tcfg, 1,
+                          trainable_mask=lora.trainable_mask(params))
+    state = T.create_train_state(params, tx)
+    step = T.make_train_step(CFG, tcfg, consts, tx)
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))

@@ -74,3 +74,25 @@ def test_unlog_tp():
     x = np.asarray([0.0, 1.0], dtype=np.float32)
     got = np.asarray(score.unlog_tp(x))
     np.testing.assert_allclose(got, 1e-5 * (np.exp(x) - 1.0), rtol=1e-6)
+
+
+def test_top_quantiles_error_matches_torch():
+    """Golden vs the reference TorchScript kernel
+    (era5_data/score.py:153-162): result is the mean over the quantile
+    axis, shape (n, c)."""
+    import torch
+
+    pred = RNG.normal(size=(2, 3, 8, 16)).astype(np.float32)
+    target = RNG.normal(size=(2, 3, 8, 16)).astype(np.float32)
+
+    n, c, h, w = pred.shape
+    qtile = 1.0 - torch.logspace(-3, -0.1, steps=100)
+    p_tar = torch.quantile(torch.from_numpy(target).view(n, c, h * w),
+                           q=qtile, dim=-1)
+    p_pred = torch.quantile(torch.from_numpy(pred).view(n, c, h * w),
+                            q=qtile, dim=-1)
+    want = torch.mean(p_pred - p_tar, dim=0).numpy()
+
+    got = np.asarray(score.top_quantiles_error(pred, target))
+    assert got.shape == (n, c)
+    np.testing.assert_allclose(got, want, atol=1e-5)
