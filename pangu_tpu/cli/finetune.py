@@ -66,10 +66,9 @@ def main(argv=None):
     state, start_epoch = _maybe_resume(ckpt, state, logger)
 
     with jax.set_mesh(mesh):
-        train_step = jax.jit(T.make_train_step(cfg.model, cfg.train,
-                                               constants, tx),
-                             donate_argnums=0)
-        eval_step = jax.jit(T.make_eval_step(cfg.model, cfg.train, constants))
+        train_step = T.make_train_step(cfg.model, cfg.train, constants, tx,
+                                       donate=True)
+        eval_step = T.make_eval_step(cfg.model, cfg.train, constants)
 
         def train_batches(epoch):
             it = loaders["train"].epoch(epoch)

@@ -88,8 +88,8 @@ def main(argv=None):
         upper = jnp.asarray(data["upper"])[None]
         surface = jnp.asarray(data["surface"])[None]
         out_u, out_s = jax.jit(
-            lambda p, u, s: pangu.forward(p, u, s, constants, cfg)
-        )(params, upper, surface)
+            lambda p, u, s, c: pangu.forward(p, u, s, c, cfg)
+        )(params, upper, surface, constants)
         out_u, out_s = denorm_data(out_u, out_s, constants)
         print(f"[forward] output ranges: upper [{float(out_u.min()):.3g}, "
               f"{float(out_u.max()):.3g}]")

@@ -70,18 +70,19 @@ def main(argv=None):
         batch["target_surface"] = batch["surface"]
         tx = T.make_optimizer(tcfg, steps_per_epoch=100)
         state = T.create_train_state(params, tx)
-        step = jax.jit(T.make_train_step(cfg, tcfg, consts, tx),
-                       donate_argnums=0)
+        step = T.make_train_step(cfg, tcfg, consts, tx, donate=True)
 
         def run():
             nonlocal state
             state, m = step(state, batch, jax.random.PRNGKey(1))
             return m["loss"]
     else:
-        fwd = jax.jit(lambda p, u, s: pangu.forward(p, u, s, consts, cfg))
+        # constants as a jit argument, not a closure (avoids inlining the
+        # large constant fields into the program)
+        fwd = jax.jit(lambda p, u, s, c: pangu.forward(p, u, s, c, cfg))
 
         def run():
-            return fwd(params, batch["upper"], batch["surface"])
+            return fwd(params, batch["upper"], batch["surface"], consts)
 
     jax.block_until_ready(run())   # compile
     timer = StepTimer()

@@ -33,7 +33,8 @@ def make_score_step(cfg: ModelConfig, constants,
     fields, ACC on anomalies (climatological mean subtracted)."""
 
     @jax.jit
-    def score_step(params, upper, surface, target_upper, target_surface):
+    def score_step(params, upper, surface, target_upper, target_surface,
+                   constants):
         out_u, out_s = forward_fn(params, upper, surface, constants, cfg,
                                   deterministic=True)
         out_u, out_s = denorm_data(out_u, out_s, constants)
@@ -57,7 +58,10 @@ def make_score_step(cfg: ModelConfig, constants,
         scores["acc_surface"] = weighted_acc_channels(ps_a, ts_a)
         return scores, (out_u, out_s)
 
-    return score_step
+    # bind constants as a per-call jit argument (closures would inline the
+    # large constant fields into the program as literals)
+    return lambda params, u, s, tu, ts: score_step(params, u, s, tu, ts,
+                                                   constants)
 
 
 def save_error_scores(csv_path: str, tables: Dict[str, Dict[str, np.ndarray]],

@@ -36,7 +36,7 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
     [, stacked per-step trajectory]. ``steps`` = horizon // 24
     (inference_singleOutput.py:92). State buffers are donated."""
 
-    def rollout(params, upper, surface):
+    def rollout(params, upper, surface, constants):
         def body(carry, _):
             u, s = single_step(params, carry[0], carry[1], constants, cfg,
                                precision)
@@ -46,7 +46,13 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
                                     length=steps)
         return ((u, s), traj) if return_trajectory else (u, s)
 
-    return jax.jit(rollout, donate_argnums=(1, 2))
+    # constants enter the jit as a traced ARGUMENT: closing over the
+    # device arrays would inline the ~67 MB const_h/mask fields as
+    # literals into the compiled program (134 MB MLIR, enough to OOM the
+    # TPU compile helper)
+    jitted = jax.jit(rollout, donate_argnums=(1, 2))
+    return lambda params, upper, surface: jitted(params, upper, surface,
+                                                 constants)
 
 
 # ---------------------------------------------------------------------------
@@ -90,7 +96,7 @@ def make_hierarchical_rollout(cfg: ModelConfig, constants,
         else:
             groups.append((h, 1))
 
-    def rollout(params_by_horizon, upper, surface):
+    def rollout(params_by_horizon, upper, surface, constants):
         carry = (upper, surface)
         for h, count in groups:
             params = params_by_horizon[h]
@@ -103,4 +109,6 @@ def make_hierarchical_rollout(cfg: ModelConfig, constants,
             carry, _ = jax.lax.scan(body, carry, None, length=count)
         return carry
 
-    return jax.jit(rollout, donate_argnums=(1, 2)), schedule
+    jitted = jax.jit(rollout, donate_argnums=(1, 2))  # constants as arg
+    return (lambda pbh, upper, surface: jitted(pbh, upper, surface,
+                                               constants)), schedule

@@ -36,13 +36,16 @@ from pangu_tpu.config import ModelConfig, StageGeometry
 # Primitive ops
 # ---------------------------------------------------------------------------
 
-def dense(p, x, precision=None):
+def dense(p, x, precision=None, *, rng=None):
     """y = x @ kernel (+ bias). Kernel layout is (in, out) — the ONNX MatMul
     layout, so converted weights load without transposition.
 
     When LoRA leaves are present (see pangu_tpu/models/lora.py) the
     low-rank update runs unmerged: y += (x @ A) @ B * (alpha / r) — two
-    skinny matmuls instead of materialising W + sAB.
+    skinny matmuls instead of materialising W + sAB. When a ``lora_drop``
+    rate leaf is present AND ``rng`` is given (training), dropout is
+    applied to the LoRA-branch input, matching peft's
+    ``LoraConfig(lora_dropout=...)`` (finetune/lora_tune.py:133).
 
     The input is flattened to 2-D around the matmul: XLA executes a plain
     (M, K) @ (K, N) notably faster than the equivalent N-D dot_general
@@ -51,7 +54,13 @@ def dense(p, x, precision=None):
     x2 = x.reshape(-1, x.shape[-1])
     y = jnp.dot(x2, p["kernel"].astype(x.dtype), precision=precision)
     if "lora_a" in p:
-        lo = jnp.dot(jnp.dot(x2, p["lora_a"].astype(x.dtype),
+        xl = x2
+        if rng is not None and "lora_drop" in p:
+            keep = 1.0 - p["lora_drop"]
+            mask = jax.random.bernoulli(rng, keep, x2.shape)
+            xl = jnp.where(mask, x2 / keep.astype(x.dtype),
+                           jnp.zeros_like(x2))
+        lo = jnp.dot(jnp.dot(xl, p["lora_a"].astype(x.dtype),
                              precision=precision),
                      p["lora_b"].astype(x.dtype), precision=precision)
         y = y + lo * p["lora_scale"].astype(x.dtype)
@@ -72,13 +81,14 @@ def layer_norm(p, x, eps: float = 1e-5, fast: bool = False):
     return y.astype(x.dtype)
 
 
-def mlp(p, x, precision=None, fast: bool = False):
+def mlp(p, x, precision=None, fast: bool = False, *, rng=None):
     """Linear(dim,4dim) -> exact GELU -> Linear(4dim,dim)
     (models/layers.py:255-270; torch nn.GELU is the erf variant, hence
     approximate=False; ``fast`` switches to the tanh approximation)."""
-    h = dense(p["fc1"], x, precision)
+    r1, r2 = (None, None) if rng is None else tuple(jax.random.split(rng))
+    h = dense(p["fc1"], x, precision, rng=r1)
     h = jax.nn.gelu(h, approximate=fast)
-    return dense(p["fc2"], h, precision)
+    return dense(p["fc2"], h, precision, rng=r2)
 
 
 def drop_path(x, rate: float, rng: Optional[jax.Array], deterministic: bool):
@@ -198,19 +208,20 @@ def window_reverse(x, window: Tuple[int, int, int], z: int, hp: int, w: int):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def shifted_window_mask(z: int, hp: int,
-                        window: Tuple[int, int, int]) -> np.ndarray:
-    """Additive attention mask (ntype, N, N) float32 with 0 / -100 entries.
+def window_region_ids(z: int, hp: int,
+                      window: Tuple[int, int, int]) -> np.ndarray:
+    """Region id of every window token, (ntype, N) int32.
 
-    Built once per (geometry, window) at trace time with the reference's
-    exact region-assignment order — including its overlapping h-slice writes
-    (models/layers.py:159-167), which the pretrained weights were trained
-    against. Longitude needs no masking: the roll wraps periodically, which
-    is physically exact on a sphere (models/layers.py:199-201), so the mask
-    is identical for every longitude window and we store a single copy.
+    Built with the reference's exact region-assignment order — including
+    its overlapping h-slice writes (models/layers.py:159-167), which the
+    pretrained weights were trained against. Two tokens may attend iff
+    their region ids match; the additive mask is derived from this.
+    Longitude needs no region split: the roll wraps periodically, which is
+    physically exact on a sphere (models/layers.py:199-201), so ids repeat
+    across the longitude window dimension.
     """
     wz, wh, ww = window
-    img = np.zeros((z, hp, 1), dtype=np.float32)
+    img = np.zeros((z, hp, 1), dtype=np.int32)
     cnt = 0
     z_slices = (slice(0, -wz), slice(-wz, -wz // 2), slice(-wz // 2, None))
     h_slices = (slice(0, -wh), slice(wh, -wh // 2), slice(-wh // 2, None))
@@ -222,7 +233,15 @@ def shifted_window_mask(z: int, hp: int,
     img = img[:, :, 0].reshape(z // wz, wz, hp // wh, wh)
     img = img.transpose(0, 2, 1, 3).reshape(-1, wz * wh)
     # expand over the (unmasked) longitude window dimension
-    m = np.repeat(img[:, :, None], ww, axis=2).reshape(-1, wz * wh * ww)
+    return np.repeat(img[:, :, None], ww, axis=2).reshape(-1, wz * wh * ww)
+
+
+@functools.lru_cache(maxsize=None)
+def shifted_window_mask(z: int, hp: int,
+                        window: Tuple[int, int, int]) -> np.ndarray:
+    """Additive attention mask (ntype, N, N) float32 with 0 / -100 entries
+    (reference gen_mask, models/layers.py:153-181)."""
+    m = window_region_ids(z, hp, window)
     diff = m[:, None, :] - m[:, :, None]
     return np.where(diff != 0, np.float32(-100.0), np.float32(0.0))
 
@@ -233,7 +252,7 @@ def shifted_window_mask(z: int, hp: int,
 # ---------------------------------------------------------------------------
 
 def earth_attention(p, x, heads: int, mask: Optional[jax.Array],
-                    precision=None):
+                    precision=None, *, rng=None):
     """Windowed MHSA with the earth-specific per-window-type bias.
 
     x: (B, nlon, ntype, N, C). The full learnable bias table
@@ -245,7 +264,8 @@ def earth_attention(p, x, heads: int, mask: Optional[jax.Array],
     hd = C // heads
     scale = hd ** -0.5
 
-    qkv = dense(p["qkv"], x, precision)
+    r1, r2 = (None, None) if rng is None else tuple(jax.random.split(rng))
+    qkv = dense(p["qkv"], x, precision, rng=r1)
     qkv = qkv.reshape(B, nlon, ntype, N, 3, heads, hd)
     qkv = qkv.transpose(4, 0, 1, 2, 5, 3, 6)   # (3, B, nlon, ntype, heads, N, hd)
     q, k, v = qkv[0], qkv[1], qkv[2]
@@ -259,7 +279,7 @@ def earth_attention(p, x, heads: int, mask: Optional[jax.Array],
     attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
     out = jnp.einsum("...qk,...kd->...qd", attn, v, precision=precision)
     out = out.transpose(0, 1, 2, 4, 3, 5).reshape(B, nlon, ntype, N, C)
-    return dense(p["proj"], out, precision)
+    return dense(p["proj"], out, precision, rng=r2)
 
 
 # ---------------------------------------------------------------------------
@@ -285,9 +305,18 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
     if roll:
         xp = jnp.roll(xp, (-(wz // 2), -(wh // 2), -(ww // 2)), axis=(1, 2, 3))
-        mask = jnp.asarray(shifted_window_mask(Z, hp, geom.window))
+        # build the (ntype, N, N) additive mask on device from the small
+        # region-id table: embedding the precomputed mask as a literal
+        # bloats the compiled program by ~10 MB per geometry
+        ids = jnp.asarray(window_region_ids(Z, hp, geom.window))
+        mask = jnp.where(ids[:, None, :] != ids[:, :, None],
+                         jnp.float32(-100.0), jnp.float32(0.0))
     else:
         mask = None
+
+    r_attn = r1 = r_mlp = r2 = None
+    if rng is not None:
+        r_attn, r1, r_mlp, r2 = tuple(jax.random.split(rng, 4))
 
     y = None
     if attn_impl == "pallas":
@@ -313,7 +342,8 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
         xp = y
     else:
         win = window_partition(xp, geom.window)
-        win = earth_attention(p["attn"], win, geom.heads, mask, precision)
+        win = earth_attention(p["attn"], win, geom.heads, mask, precision,
+                              rng=r_attn)
         xp = window_reverse(win, geom.window, Z, hp, W)
 
     if roll:
@@ -323,6 +353,7 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
     from pangu_tpu.parallel.sharding import multi_device_mesh_active
     if (attn_impl == "pallas" and deterministic
             and "lora_a" not in p["mlp"]["fc1"]
+            and "lora_a" not in p["mlp"]["fc2"]
             and not multi_device_mesh_active()):
         # fused residual+LN+MLP+LN tail (token-local, one pallas kernel);
         # training keeps the XLA tail: stochastic depth needs per-sample
@@ -330,11 +361,11 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
         from pangu_tpu.ops.block_tail import fused_block_tail
         return fused_block_tail(p, x, shortcut, fast_math=fast_math)
 
-    r1, r2 = (None, None) if rng is None else tuple(jax.random.split(rng))
     x = shortcut + drop_path(layer_norm(p["norm1"], x, fast=fast_math),
                              drop_rate, r1, deterministic)
     x = x + drop_path(
-        layer_norm(p["norm2"], mlp(p["mlp"], x, precision, fast=fast_math),
+        layer_norm(p["norm2"], mlp(p["mlp"], x, precision, fast=fast_math,
+                                   rng=r_mlp),
                    fast=fast_math),
         drop_rate, r2, deterministic)
     return x
@@ -344,7 +375,7 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
 # Down / up sampling  (reference: models/layers.py:423-499)
 # ---------------------------------------------------------------------------
 
-def down_sample(p, x, precision=None):
+def down_sample(p, x, precision=None, *, rng=None):
     """2x2 space-to-depth on (H, W) + LayerNorm + Linear(4C -> 2C, no bias)
     (models/layers.py:432-459; latitude is padded 181 -> 182 first)."""
     B, Z, H, W, C = x.shape
@@ -355,20 +386,21 @@ def down_sample(p, x, precision=None):
     # (models/layers.py:449-451)
     x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, Z, h2, w2, 4 * C)
     x = layer_norm(p["norm"], x)
-    return dense(p["reduce"], x, precision)
+    return dense(p["reduce"], x, precision, rng=rng)
 
 
-def up_sample(p, x, out_h: int, precision=None):
+def up_sample(p, x, out_h: int, precision=None, *, rng=None):
     """Linear(2C -> 4C') + 2x2 depth-to-space + crop + LayerNorm +
     Linear(C' -> C', no bias) (models/layers.py:474-499)."""
     B, Z, H, W, C = x.shape
-    x = dense(p["expand"], x, precision)
+    r1, r2 = (None, None) if rng is None else tuple(jax.random.split(rng))
+    x = dense(p["expand"], x, precision, rng=r1)
     c_out = x.shape[-1] // 4
     x = x.reshape(B, Z, H, W, 2, 2, c_out)
     x = x.transpose(0, 1, 2, 4, 3, 5, 6).reshape(B, Z, 2 * H, 2 * W, c_out)
     x = x[:, :, :out_h]
     x = layer_norm(p["norm"], x)
-    return dense(p["mix"], x, precision)
+    return dense(p["mix"], x, precision, rng=r2)
 
 
 # ---------------------------------------------------------------------------

@@ -123,6 +123,17 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
     rates = cfg.drop_path_rates()
     offset = sum(cfg.depths[:stage_idx])
 
+    if cfg.attn_impl == "pallas" and deterministic:
+        from pangu_tpu.ops.earth_block_fused import (run_stage_fused,
+                                                     stage_supports_fused)
+        from pangu_tpu.parallel.sharding import multi_device_mesh_active
+        if (not multi_device_mesh_active()
+                and stage_supports_fused(stage_params)):
+            # whole-stage fused path: pad/roll/crop folded into the block
+            # kernels' index maps, one pallas_call per block
+            return run_stage_fused(stage_params, x, geom,
+                                   fast_math=cfg.fast_math)
+
     for j, bp in enumerate(stage_params["blocks"]):
         brng = None
         if rng is not None:
@@ -151,9 +162,9 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
     upper = upper.astype(cdt)
     surface = surface.astype(cdt)
 
-    rngs = [None] * 4
+    rngs = [None] * 6
     if rng is not None and not deterministic:
-        rngs = list(jax.random.split(rng, 4))
+        rngs = list(jax.random.split(rng, 6))
 
     x = L.patch_embed(params["patch_embed"], upper, surface, constants, cfg,
                       precision)
@@ -162,13 +173,14 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
     x = _run_stage(params["stages"][0], x, cfg, 0, rng=rngs[0],
                    deterministic=deterministic, precision=precision)
     skip = x
-    x = shard_tokens(L.down_sample(params["downsample"], x, precision))
+    x = shard_tokens(L.down_sample(params["downsample"], x, precision,
+                                   rng=rngs[4]))
     x = _run_stage(params["stages"][1], x, cfg, 1, rng=rngs[1],
                    deterministic=deterministic, precision=precision)
     x = _run_stage(params["stages"][2], x, cfg, 2, rng=rngs[2],
                    deterministic=deterministic, precision=precision)
     x = shard_tokens(L.up_sample(params["upsample"], x, cfg.h_tokens,
-                                 precision))
+                                 precision, rng=rngs[5]))
     x = _run_stage(params["stages"][3], x, cfg, 3, rng=rngs[3],
                    deterministic=deterministic, precision=precision)
 

@@ -1,0 +1,321 @@
+"""Whole-stage fused Earth-specific blocks: pad + roll + windowed
+attention + block tail in ONE pallas_call per block, for BOTH shifted and
+unshifted blocks.
+
+The reference block (models/layers.py:183-253) does, in order: lat-pad
+(181 -> 186), optional half-window ``torch.roll`` on (Z, H, W), window
+partition, biased/masked attention, reverse partition, roll-back, crop,
+then the residual/LN/MLP tail. Round-1 kernels fused attention (+ tail
+for unshifted blocks) but left pad/roll/crop to XLA — ~30-40 ms of pure
+HBM copies per forward at full resolution.
+
+This module removes ALL of that data movement with two TPU-native ideas:
+
+1. **Roll = index arithmetic, not data movement.** A half-window shift
+   means window (zz, hh) covers storage rows offset by (dz, dh, dw). The
+   kernel reads those rows directly: the z/lat offsets come from FOUR
+   fine-grained BlockSpecs (z row singles x lat half-window groups) whose
+   index maps add the offset modulo the grid — wrap-around included, which
+   is exactly ``torch.roll`` semantics. The longitude offset is a cheap
+   in-register rotate of the full-W tile. Each input element is still
+   read exactly once per block.
+
+2. **Shifted blocks write in rolled coordinates.** The block's output IS
+   its own attention grid; rolling back immediately (reference
+   layers.py:239-243) only to roll again next block is wasted bandwidth.
+   Instead the storage tensor carries a coordinate offset; the NEXT
+   block's reads fold in the inverse shift, and one final ``jnp.roll``
+   at stage end restores canonical coordinates (4 rolls per forward
+   instead of 16 roll/pad/crop chains).
+
+   The residual shortcut is valid in any coordinates (token-local), so
+   the tail fuses into shifted blocks too — all 16 blocks are now single
+   kernels.
+
+3. **Zero-pad rows are synthesised, not stored.** The reference re-pads
+   zeros every block so pad tokens enter attention as zeros
+   (layers.py:192); here a per-row iota mask zeroes any row whose
+   canonical latitude index >= the real token count before the qkv
+   projection. Bit-identical semantics, no pad/crop copies.
+
+The earth-specific bias table is passed in its native dtype (the fp32
+upcast is done per-tile in VMEM, killing the per-block 60 MB XLA
+materialisation of ``bias_table.astype(f32) + mask``); the shifted-window
+mask rides as its own small operand.
+
+Deterministic (inference/eval) path only — training keeps the XLA/
+grid-attention path because stochastic depth needs per-sample RNG across
+the whole residual branch, and pallas_call has no autodiff.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pangu_tpu.ops.block_tail import tail_math
+
+
+def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
+                    h_real: int, hp: int, dw: int, canon_add: int,
+                    n_x_refs: int, has_mask: bool, fast_math: bool):
+    wz, wh, ww = window
+    n = wz * wh * ww
+    g = wh // 2
+    scale = hd ** -0.5
+
+    def kernel(*refs):
+        xs = refs[:n_x_refs]
+        i = n_x_refs
+        (wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wp_ref, bp_ref,
+         b_ref) = refs[i:i + 9]
+        i += 9
+        ids_ref = None
+        if has_mask:
+            ids_ref = refs[i]
+            i += 1
+        (n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref) = refs[i:i + 8]
+        o_ref = refs[i + 8]
+        q_s, k_s, v_s, attn_s = refs[i + 9:i + 13]   # VMEM scratch
+
+        # ---- assemble the (wz, wh, W, C) window row, already "rolled" --
+        if n_x_refs == 1:
+            x = xs[0][0]
+        else:
+            rows = []
+            for zi in range(wz):
+                lat = jnp.concatenate(
+                    [xs[zi * 2 + j][0, 0] for j in range(2)], axis=0)
+                rows.append(lat)
+            x = jnp.stack(rows, axis=0)
+        if dw:
+            # window lon w reads storage lon (w + dw) mod W
+            x = jnp.roll(x, -dw, axis=2)
+
+        # ---- zero-synthesise the latitude pad rows (layers.py:192) -----
+        if h_real < hp:
+            hh = pl.program_id(2)
+            lat_iota = jax.lax.broadcasted_iota(jnp.int32, (wz, wh, 1, 1), 1)
+            canon = jax.lax.rem(wh * hh + lat_iota + canon_add, hp)
+            x = jnp.where(canon < h_real, x, jnp.zeros_like(x))
+
+        # ---- fused qkv + attention + proj (per-head weight slices) -----
+        xw = x.reshape(wz, wh, nlon, ww, c).transpose(2, 0, 1, 3, 4)
+        xf = xw.reshape(nlon * n, c)
+        acc = jnp.zeros((nlon * n, c), jnp.float32)
+        sc = jnp.asarray(scale, x.dtype)
+        mask_add = None
+        if ids_ref is not None:
+            # shifted-window mask rebuilt from per-token region ids (tiny
+            # operand; the (N, N) -100 tensor never touches HBM)
+            r = ids_ref[...][0]                    # (1, n) int32
+            mask_add = jnp.where(r[0][None, :] != r[0][:, None],
+                                 jnp.float32(-100.0), jnp.float32(0.0))
+        for h in range(heads):
+            def _proj(w_ref2, b2_ref):
+                t = jax.lax.dot_general(
+                    xf, w_ref2[h], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                t = t + b2_ref[h].astype(jnp.float32)
+                return t.astype(x.dtype).reshape(nlon, n, hd)
+
+            q_s[...] = _proj(wq_ref, bq_ref) * sc
+            k_s[...] = _proj(wk_ref, bk_ref)
+            v_s[...] = _proj(wv_ref, bv_ref)
+            add = b_ref[0, h].astype(jnp.float32)
+            if mask_add is not None:
+                add = add + mask_add
+
+            # softmax(q k^T + bias) v per longitude window, as a
+            # fori_loop of 2-D matmuls over VMEM scratch: a batched
+            # dot_general over the nlon dim would be fully UNROLLED by
+            # Mosaic — ~3 min compile per kernel at nlon=30 vs seconds
+            # with the loop
+            def body(ll, carry):
+                s = jax.lax.dot_general(
+                    q_s[ll], k_s[ll], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) + add
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
+                attn_s[ll] = jax.lax.dot_general(
+                    pr, v_s[ll], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+                return carry
+
+            jax.lax.fori_loop(0, nlon, body, 0, unroll=False)
+            acc = acc + jax.lax.dot_general(
+                attn_s[...].reshape(nlon * n, hd), wp_ref[h],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a = (acc + bp_ref[...][None].astype(jnp.float32)).astype(x.dtype)
+
+        # ---- block tail, token-local so valid in rolled coords ---------
+        y = tail_math(a, xf, n1s_ref[...], n1b_ref[...], n2s_ref[...],
+                      n2b_ref[...], w1_ref[...], b1_ref[...], w2_ref[...],
+                      b2_ref[...], fast_math)
+
+        y = y.reshape(nlon, wz, wh, ww, c).transpose(1, 2, 0, 3, 4)
+        o_ref[0] = y.reshape(wz, wh, nlon * ww, c).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
+                   canon_add: int, mask: Optional[jax.Array],
+                   fast_math: bool):
+    """One whole block on the storage tensor ``xs`` (B, Z, Hp, W, C).
+
+    ``delta`` maps window rows to storage rows (window row r of window
+    (zz, hh) reads storage row (wz*zz + r + dz) mod Z etc.); ``canon_add``
+    is the lat offset from window coords to canonical (padded) coords,
+    used for zero-pad synthesis.
+    """
+    b, z, hp, w, c = xs.shape
+    wz, wh, ww = geom.window
+    heads = geom.heads
+    hd = c // heads
+    nlat = hp // wh
+    nlon = w // ww
+    n = wz * wh * ww
+    dz, dh, dw = delta
+    stitch = dz != 0 or dh != 0
+    g = wh // 2
+
+    if stitch:
+        hstep = dh // g
+        hp_g = hp // g
+
+        def mk_x_spec(i, j):
+            return pl.BlockSpec(
+                (1, 1, g, w, c),
+                lambda bb, zz, hh, i=i, j=j: (
+                    bb, (wz * zz + i + dz) % z, (2 * hh + j + hstep) % hp_g,
+                    0, 0),
+                memory_space=pltpu.VMEM)
+
+        x_specs = [mk_x_spec(i, j) for i in range(wz) for j in range(2)]
+    else:
+        x_specs = [pl.BlockSpec((1, wz, wh, w, c),
+                                lambda bb, zz, hh: (bb, zz, hh, 0, 0),
+                                memory_space=pltpu.VMEM)]
+
+    dt = xs.dtype
+    qk = p["attn"]["qkv"]["kernel"].astype(dt)
+    wq = qk[:, :c].reshape(c, heads, hd).transpose(1, 0, 2)
+    wk = qk[:, c:2 * c].reshape(c, heads, hd).transpose(1, 0, 2)
+    wv = qk[:, 2 * c:].reshape(c, heads, hd).transpose(1, 0, 2)
+    qb = p["attn"]["qkv"]["bias"].astype(dt)
+    bq = qb[:c].reshape(heads, 1, hd)
+    bk = qb[c:2 * c].reshape(heads, 1, hd)
+    bv = qb[2 * c:].reshape(heads, 1, hd)
+    wp = p["attn"]["proj"]["kernel"].astype(dt).reshape(heads, hd, c)
+    bp = p["attn"]["proj"]["bias"].astype(dt)
+    bias = p["attn"]["bias_table"]          # native dtype; cast per-tile
+
+    spec_b = pl.BlockSpec((1, heads, n, n),
+                          lambda bb, zz, hh: (zz * nlat + hh, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def fullspec(shape):
+        return pl.BlockSpec(shape, lambda bb, zz, hh: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    operands = [xs, wq, wk, wv, bq, bk, bv, wp, bp, bias]
+    in_specs = x_specs + [fullspec(wq.shape), fullspec(wk.shape),
+                          fullspec(wv.shape), fullspec(bq.shape),
+                          fullspec(bk.shape), fullspec(bv.shape),
+                          fullspec(wp.shape), fullspec(bp.shape), spec_b]
+    if stitch:
+        operands = [xs, xs, xs, xs] + operands[1:]
+    if mask is not None:
+        # (ntype, 1, n) int32 region ids; the middle singleton keeps the
+        # trailing block dims equal to the array dims (Mosaic constraint)
+        operands.append(mask.reshape(mask.shape[0], 1, n))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, n), lambda bb, zz, hh: (zz * nlat + hh, 0, 0),
+            memory_space=pltpu.VMEM))
+
+    tail = [p["norm1"]["scale"].astype(dt), p["norm1"]["bias"].astype(dt),
+            p["norm2"]["scale"].astype(dt), p["norm2"]["bias"].astype(dt),
+            p["mlp"]["fc1"]["kernel"].astype(dt),
+            p["mlp"]["fc1"]["bias"].astype(dt),
+            p["mlp"]["fc2"]["kernel"].astype(dt),
+            p["mlp"]["fc2"]["bias"].astype(dt)]
+    hidden = tail[4].shape[-1]
+    operands += tail
+    in_specs += [fullspec((c,)), fullspec((c,)), fullspec((c,)),
+                 fullspec((c,)), fullspec((c, hidden)), fullspec((hidden,)),
+                 fullspec((hidden, c)), fullspec((c,))]
+
+    out_spec = pl.BlockSpec((1, wz, wh, w, c),
+                            lambda bb, zz, hh: (bb, zz, hh, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    scratch = [pltpu.VMEM((nlon, n, hd), dt) for _ in range(4)]
+
+    return pl.pallas_call(
+        _make_v2_kernel(heads, hd, geom.window, nlon, c, geom.h, hp, dw,
+                        canon_add, len(x_specs), mask is not None,
+                        fast_math),
+        out_shape=jax.ShapeDtypeStruct(xs.shape, dt),
+        grid=(b, z // wz, nlat),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * z * hp * w * c * (4 * c + 2 * n + 8 * c),
+            bytes_accessed=2 * xs.size * dt.itemsize
+            + bias.size * bias.dtype.itemsize,
+            transcendentals=b * (z // wz) * nlat * nlon * heads * n * n),
+    )(*operands)
+
+
+def _has_lora(p) -> bool:
+    return ("lora_a" in p["attn"]["qkv"] or "lora_a" in p["attn"]["proj"]
+            or "lora_a" in p["mlp"]["fc1"] or "lora_a" in p["mlp"]["fc2"])
+
+
+def stage_supports_fused(stage_params) -> bool:
+    return not any(_has_lora(bp) for bp in stage_params["blocks"])
+
+
+def run_stage_fused(stage_params, x, geom, *, fast_math: bool = False):
+    """Run one EarthSpecificLayer (stack of alternating no-roll/roll
+    blocks, models/layers.py:110-125) entirely in whole-block kernels.
+
+    x: (B, Z, H, W, C) canonical token grid; returns the same. Storage
+    between blocks carries a coordinate offset (see module docstring);
+    a single roll + crop at stage end restores canonical layout.
+    """
+    wz, wh, ww = geom.window
+    B, Z, H, W, C = x.shape
+    hp = geom.h_padded
+    xs = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
+    half = (wz // 2, wh // 2, ww // 2)
+    off = (0, 0, 0)
+    mask = None
+
+    for j, bp in enumerate(stage_params["blocks"]):
+        shifted = (j % 2 == 1)
+        target = half if shifted else (0, 0, 0)
+        delta = tuple(t - o for t, o in zip(target, off))
+        if shifted and mask is None:
+            from pangu_tpu.models.layers import window_region_ids
+            mask = jnp.asarray(window_region_ids(Z, hp, geom.window))
+        xs = _block_v2_call(bp, xs, geom, delta, canon_add=target[1],
+                            mask=mask if shifted else None,
+                            fast_math=fast_math)
+        off = target
+
+    if off != (0, 0, 0):
+        xs = jnp.roll(xs, off, axis=(1, 2, 3))
+    return xs[:, :, :H]

@@ -652,7 +652,7 @@ def block_noroll_fused(p, xg, heads: int, window,
     """Whole no-roll block (attention + tail) on the padded token grid.
     Returns None when LoRA leaves are present."""
     if ("lora_a" in p["attn"]["qkv"] or "lora_a" in p["attn"]["proj"]
-            or "lora_a" in p["mlp"]["fc1"]):
+            or "lora_a" in p["mlp"]["fc1"] or "lora_a" in p["mlp"]["fc2"]):
         return None
     bias = p["attn"]["bias_table"].astype(jnp.float32)
     return _block_core(heads, tuple(window), fast_math)(

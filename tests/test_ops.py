@@ -273,3 +273,40 @@ def test_block_noroll_fused_matches_xla_block():
         got_r = L.earth_block(bp, x, geom=g, roll=True, attn_impl="pallas")
     np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
                                atol=2e-4)
+
+
+def _stage_xla_reference(stage_params, x, geom):
+    """The XLA earth_block composition (pad/roll/partition/attn/tail per
+    block) — the proven-parity path the fused stage must match."""
+    y = x
+    for j, bp in enumerate(stage_params["blocks"]):
+        y = L.earth_block(bp, y, geom=geom, roll=(j % 2 == 1),
+                          deterministic=True, attn_impl="xla")
+    return y
+
+
+@pytest.mark.parametrize("stage_idx", [0, 1])
+@pytest.mark.parametrize("depth", [2, 4])
+def test_run_stage_fused_matches_xla(stage_idx, depth):
+    """Whole-stage fused kernels (pad/roll via index maps, in-kernel zero
+    synthesis, rolled-coordinate storage) == the XLA composition, at both
+    full-res and half-res TINY geometry, including the unshifted-after-
+    shifted inverse-offset read (depth 4)."""
+    from pangu_tpu.config import TINY
+    from pangu_tpu.models import pangu
+    from pangu_tpu.ops.earth_block_fused import run_stage_fused
+
+    cfg = TINY
+    geom = cfg.stage(stage_idx)
+    params = pangu.init_params(jax.random.PRNGKey(stage_idx), cfg)
+    blocks = params["stages"][stage_idx]["blocks"]
+    stage_params = {"blocks": (blocks * 2)[:depth]}
+
+    x = jnp.asarray(RNG.normal(
+        size=(1, geom.z, geom.h, geom.w, geom.dim)).astype(np.float32))
+
+    want = _stage_xla_reference(stage_params, x, geom)
+    with pltpu.force_tpu_interpret_mode():
+        got = run_stage_fused(stage_params, x, geom)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)

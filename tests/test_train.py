@@ -91,7 +91,7 @@ def test_train_step_reduces_loss_on_fixed_batch():
     batch["target_upper"] = batch["upper"]
     batch["target_surface"] = batch["surface"]
 
-    step = jax.jit(T.make_train_step(cfg, tcfg, consts, tx))
+    step = T.make_train_step(cfg, tcfg, consts, tx)
     losses = []
     rng = jax.random.PRNGKey(1)
     for i in range(3):
