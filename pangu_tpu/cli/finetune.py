@@ -63,7 +63,7 @@ def main(argv=None):
     state = T.create_train_state(params, tx)
 
     ckpt = Checkpointer(out)
-    state, start_epoch = _maybe_resume(ckpt, state, logger)
+    state, start_epoch, start_batch = _maybe_resume(ckpt, state, logger)
 
     with jax.set_mesh(mesh):
         train_step = T.make_train_step(cfg.model, cfg.train, constants, tx,
@@ -88,8 +88,8 @@ def main(argv=None):
         state, history = T.train_loop(
             cfg, state, train_step, eval_step, train_batches, val_batches,
             rng=jax.random.PRNGKey(cfg.train.seed),
-            start_epoch=start_epoch, checkpointer=ckpt, logger=logger,
-            writer=writer)
+            start_epoch=start_epoch, start_batch=start_batch,
+            checkpointer=ckpt, logger=logger, writer=writer)
 
         logger.info("Begin testing...")
         test_out = os.path.join(out, "test")
@@ -102,12 +102,16 @@ def main(argv=None):
 
 
 def _maybe_resume(ckpt: Checkpointer, state, logger):
+    """Resume at the exact (epoch, batch) the latest checkpoint recorded —
+    step-granular, unlike the reference's epoch-only resume
+    (finetune/lora_tune.py:143-148)."""
     template = jax.tree.map(lambda x: x, state)
-    restored, step = ckpt.restore_latest(template)
+    restored, step, progress = ckpt.restore_latest(template)
     if step is None:
-        return state, 1
-    logger.info(f"resumed from checkpoint at epoch {step}")
-    return restored, step + 1
+        return state, 1, 0
+    logger.info(f"resumed from checkpoint at step {step} "
+                f"(epoch {progress['epoch']}, batch {progress['batch']})")
+    return restored, progress["epoch"], progress["batch"]
 
 
 if __name__ == "__main__":

@@ -40,6 +40,14 @@ def main(argv=None):
                         "greedily (largest first). Default: the single "
                         "--pretrained 24 h model")
     p.add_argument("--limit", type=int, default=0)
+    p.add_argument("--onnx-baseline", default=None, metavar="ONNX_PATH",
+                   help="run the official .onnx through ONNX Runtime "
+                        "instead of the TPU model (the reference's golden "
+                        "engine, inference_singleOutput.py:30-41) — same "
+                        "rollout, same CSVs, for side-by-side tables. "
+                        "Requires onnxruntime (optional dependency)")
+    p.add_argument("--ort-providers", default="cpu",
+                   help="comma list for --onnx-baseline: cpu and/or cuda")
     args = p.parse_args(argv)
 
     M.initialize_distributed()
@@ -68,7 +76,16 @@ def main(argv=None):
     mesh = M.build_mesh(mcfg)
 
     constants = common.load_constants_device(cfg, args.synthetic)
-    if hierarchy is not None:
+    if args.onnx_baseline:
+        from pangu_tpu.engine import onnx_baseline as OB
+        prov = {"cpu": "CPUExecutionProvider",
+                "cuda": "CUDAExecutionProvider"}
+        session = OB.make_session(
+            args.onnx_baseline,
+            providers=[prov[p.strip()] for p in
+                       args.ort_providers.split(",")])
+        params = None
+    elif hierarchy is not None:
         import argparse as _ap
         models = {}
         for h, path in hierarchy.items():
@@ -86,7 +103,15 @@ def main(argv=None):
     tables = {n: {} for n in names}
 
     with jax.set_mesh(mesh):
-        if hierarchy is not None:
+        if args.onnx_baseline:
+            from pangu_tpu.engine import onnx_baseline as OB
+            steps = cfg.data.horizon // 24
+
+            def roll(p, u, s):
+                out_u, out_s = OB.rollout(session, np.asarray(u)[0],
+                                          np.asarray(s)[0], steps)
+                return jnp.asarray(out_u)[None], jnp.asarray(out_s)[None]
+        elif hierarchy is not None:
             hroll, schedule = R.make_hierarchical_rollout(
                 cfg.model, constants, cfg.data.horizon, tuple(hierarchy))
             roll = lambda p, u, s: hroll(models, u, s)  # noqa: E731

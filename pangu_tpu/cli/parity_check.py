@@ -44,6 +44,14 @@ def main(argv=None):
                    help=".npz with reference out_upper/out_surface")
     p.add_argument("--csv_dir", default=None,
                    help="compare an eval sweep csv dir against the anchors")
+    p.add_argument("--dump-activations", default=None, metavar="OUT_NPZ",
+                   help="with --frame: save per-stage activations (embed, "
+                        "stage0..3, down/upsample, outputs) for offline "
+                        "comparison against reference activations")
+    p.add_argument("--golden-activations", default=None, metavar="REF_NPZ",
+                   help="with --frame: compare per-stage activations "
+                        "against a reference dump, reporting the FIRST "
+                        "diverging stage (localises any parity break)")
     p.add_argument("--tiny", action="store_true")
     args = p.parse_args(argv)
 
@@ -87,10 +95,39 @@ def main(argv=None):
         data = np.load(args.frame)
         upper = jnp.asarray(data["upper"])[None]
         surface = jnp.asarray(data["surface"])[None]
-        out_u, out_s = jax.jit(
-            lambda p, u, s, c: pangu.forward(p, u, s, c, cfg)
-        )(params, upper, surface, constants)
+        taps = {} if (args.dump_activations
+                      or args.golden_activations) else None
+        out_u, out_s = pangu.forward(params, upper, surface, constants, cfg,
+                                     taps=taps)
         out_u, out_s = denorm_data(out_u, out_s, constants)
+
+        if taps is not None:
+            acts = {k: np.asarray(v, np.float32) for k, v in taps.items()}
+            acts["out_upper"] = np.asarray(out_u[0], np.float32)
+            acts["out_surface"] = np.asarray(out_s[0], np.float32)
+        if args.dump_activations:
+            np.savez_compressed(args.dump_activations, **acts)
+            print(f"[activations] dumped {sorted(acts)} -> "
+                  f"{args.dump_activations}")
+        if args.golden_activations:
+            gold = np.load(args.golden_activations)
+            order = ["embed", "stage0", "downsample", "stage1", "stage2",
+                     "upsample", "stage3", "out_surface"]
+            for name in order:
+                if name not in gold:
+                    continue
+                got = acts[name].squeeze()
+                want = np.asarray(gold[name], np.float32).squeeze()
+                rel = float(np.abs(got - want).mean()
+                            / (np.abs(want).mean() + 1e-6))
+                status = "OK" if rel <= 5e-3 else "DIVERGES"
+                print(f"[activations] {name}: mean|Δ|/mean|ref| = "
+                      f"{rel:.2e} {status}")
+                if rel > 5e-3:
+                    print(f"[activations] first divergence at {name!r}; "
+                          "stages before it are parity-clean")
+                    ok = False
+                    break
         print(f"[forward] output ranges: upper [{float(out_u.min()):.3g}, "
               f"{float(out_u.max()):.3g}]")
         if args.golden:

@@ -215,6 +215,9 @@ class TrainConfig:
     surface_weights: Tuple[float, ...] = (1.50, 0.77, 0.66, 3.00)
     surface_loss_weight: float = 0.25           # models/pangu_sample.py:67
     save_interval: int = 1                      # epochs between checkpoints
+    save_steps: int = 0        # >0: also checkpoint every N optimizer steps
+                               # (step-granular resume; 0 = epoch-only,
+                               # the reference's granularity)
     val_interval: int = 1
     early_stop_patience: int = 5                # models/pangu_sample.py:170
     seed: int = 99

@@ -170,17 +170,27 @@ def train_loop(cfg: Config, state: TrainState, train_step, eval_step,
                val_batches: Callable[[], Iterable], *,
                rng: jax.Array,
                start_epoch: int = 1,
+               start_batch: int = 0,
                checkpointer=None,
                logger=None,
                writer=None) -> Tuple[TrainState, Dict]:
     """Epoch loop with validation, early stopping and best-model tracking
     (models/pangu_sample.py:35-176). ``train_batches(epoch)`` /
-    ``val_batches()`` yield device-ready batch dicts."""
+    ``val_batches()`` yield device-ready batch dicts.
+
+    Step-granular resume: with ``train.save_steps > 0`` a checkpoint is
+    written every N optimizer steps carrying (epoch, batch) progress;
+    ``start_batch`` skips already-consumed batches of the first epoch. The
+    per-step RNG is ``fold_in(rng, global_step)`` — a pure function of the
+    step counter — so a resumed run consumes the exact RNG stream of an
+    uninterrupted one (the reference can only restart at epoch boundaries,
+    models/pangu_sample.py:93-98)."""
     tcfg = cfg.train
     best_loss = float("inf")
     best_params = None
     stale = 0
     history = {"train_loss": [], "val_loss": []}
+    gstep = int(state.step)
 
     def log(msg):
         if logger is not None:
@@ -189,18 +199,29 @@ def train_loop(cfg: Config, state: TrainState, train_step, eval_step,
     for epoch in range(start_epoch, tcfg.epochs + 1):
         t0 = time.time()
         epoch_loss, nb = 0.0, 0
-        for batch in train_batches(epoch):
-            rng, sub = jax.random.split(rng)
+        batches = iter(train_batches(epoch))
+        if epoch == start_epoch and start_batch:
+            log(f"resuming epoch {epoch} at batch {start_batch}")
+            for _ in range(start_batch):
+                next(batches, None)
+            nb = start_batch
+        for batch in batches:
+            sub = jax.random.fold_in(rng, gstep)
             state, metrics = train_step(state, batch, sub)
             epoch_loss += float(metrics["loss"])
             nb += 1
-        epoch_loss /= max(nb, 1)
+            gstep += 1
+            if (checkpointer is not None and tcfg.save_steps
+                    and gstep % tcfg.save_steps == 0):
+                checkpointer.save(state, epoch=epoch, step=gstep, batch=nb)
+        denom = max(nb - (start_batch if epoch == start_epoch else 0), 1)
+        epoch_loss /= denom
         history["train_loss"].append(epoch_loss)
         log(f"Epoch {epoch} : {epoch_loss:.6f} "
             f"({nb} steps, {time.time() - t0:.1f}s)")
 
         if checkpointer is not None and epoch % tcfg.save_interval == 0:
-            checkpointer.save(state, epoch=epoch)
+            checkpointer.save(state, epoch=epoch + 1, step=gstep, batch=0)
 
         if epoch % tcfg.val_interval == 0:
             val_loss, nv = 0.0, 0

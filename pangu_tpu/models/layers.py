@@ -69,11 +69,18 @@ def dense(p, x, precision=None, *, rng=None):
     return y.reshape(*lead, y.shape[-1])
 
 
+def _stat_dtype(dtype):
+    """Accumulation dtype for norm/softmax statistics: at least fp32 (bf16
+    activations upcast), but never DOWNcast (fp64 parity runs stay fp64)."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
 def layer_norm(p, x, eps: float = 1e-5, fast: bool = False):
-    """LayerNorm over the trailing channel dim; fp32 statistics regardless of
-    activation dtype (torch nn.LayerNorm default eps, models/layers.py:141).
-    ``fast`` keeps stats in the activation dtype (perf mode)."""
-    xf = x if fast else x.astype(jnp.float32)
+    """LayerNorm over the trailing channel dim; >=fp32 statistics regardless
+    of activation dtype (torch nn.LayerNorm default eps,
+    models/layers.py:141). ``fast`` keeps stats in the activation dtype
+    (perf mode)."""
+    xf = x if fast else x.astype(_stat_dtype(x.dtype))
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
@@ -270,12 +277,13 @@ def earth_attention(p, x, heads: int, mask: Optional[jax.Array],
     qkv = qkv.transpose(4, 0, 1, 2, 5, 3, 6)   # (3, B, nlon, ntype, heads, N, hd)
     q, k, v = qkv[0], qkv[1], qkv[2]
 
+    sdt = _stat_dtype(x.dtype)
     attn = jnp.einsum("...qd,...kd->...qk", q * scale, k,
                       precision=precision,
-                      preferred_element_type=jnp.float32)
-    attn = attn + p["bias_table"].astype(jnp.float32)[None, None]
+                      preferred_element_type=sdt)
+    attn = attn + p["bias_table"].astype(sdt)[None, None]
     if mask is not None:
-        attn = attn + mask[None, None, :, None]
+        attn = attn + mask.astype(sdt)[None, None, :, None]
     attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
     out = jnp.einsum("...qk,...kd->...qd", attn, v, precision=precision)
     out = out.transpose(0, 1, 2, 4, 3, 5).reshape(B, nlon, ntype, N, C)

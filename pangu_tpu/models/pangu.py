@@ -125,14 +125,24 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
 
     if cfg.attn_impl == "pallas" and deterministic:
         from pangu_tpu.ops.earth_block_fused import (run_stage_fused,
+                                                     run_stage_fused_sharded,
+                                                     stage_shardable,
                                                      stage_supports_fused)
         from pangu_tpu.parallel.sharding import multi_device_mesh_active
-        if (not multi_device_mesh_active()
-                and stage_supports_fused(stage_params)):
-            # whole-stage fused path: pad/roll/crop folded into the block
-            # kernels' index maps, one pallas_call per block
-            return run_stage_fused(stage_params, x, geom,
-                                   fast_math=cfg.fast_math)
+        if stage_supports_fused(stage_params):
+            if not multi_device_mesh_active():
+                # whole-stage fused path: pad/roll/crop folded into the
+                # block kernels' index maps, one pallas_call per block
+                return run_stage_fused(stage_params, x, geom,
+                                       fast_math=cfg.fast_math)
+            mesh = jax.sharding.get_abstract_mesh()
+            shape = dict(getattr(mesh, "shape", {}) or {})
+            if (set(shape) >= {"dp", "sp"}
+                    and stage_shardable(geom, shape, x.shape[0])):
+                # >1-device mesh: same kernels per (dp, sp) shard via
+                # shard_map; lon rolls become ppermute halo exchanges
+                return run_stage_fused_sharded(stage_params, x, geom, mesh,
+                                               fast_math=cfg.fast_math)
 
     for j, bp in enumerate(stage_params["blocks"]):
         brng = None
@@ -152,11 +162,16 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
 
 def forward(params, upper, surface, constants, cfg: ModelConfig, *,
             rng: Optional[jax.Array] = None, deterministic: bool = True,
-            precision=None):
+            precision=None, taps: Optional[dict] = None):
     """Full forward step.
 
     upper (B, 5, levels, lat, lon), surface (B, 4, lat, lon), raw physical
     units in; *normalised* prediction out (models/pangu_model.py:50-87).
+
+    ``taps``: pass a dict to collect per-stage activations (embed,
+    stage0..3, downsample, upsample) — the golden-activation hook used by
+    cli/parity_check.py to localise any divergence against a reference
+    activation dump.
     """
     cdt = jnp.dtype(cfg.compute_dtype)
     upper = upper.astype(cdt)
@@ -166,23 +181,34 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
     if rng is not None and not deterministic:
         rngs = list(jax.random.split(rng, 6))
 
-    x = L.patch_embed(params["patch_embed"], upper, surface, constants, cfg,
-                      precision)
+    def tap(name, val):
+        if taps is not None:
+            taps[name] = val
+        return val
+
+    x = tap("embed", L.patch_embed(params["patch_embed"], upper, surface,
+                                   constants, cfg, precision))
     x = shard_tokens(x)
 
-    x = _run_stage(params["stages"][0], x, cfg, 0, rng=rngs[0],
-                   deterministic=deterministic, precision=precision)
+    x = tap("stage0", _run_stage(params["stages"][0], x, cfg, 0, rng=rngs[0],
+                                 deterministic=deterministic,
+                                 precision=precision))
     skip = x
-    x = shard_tokens(L.down_sample(params["downsample"], x, precision,
-                                   rng=rngs[4]))
-    x = _run_stage(params["stages"][1], x, cfg, 1, rng=rngs[1],
-                   deterministic=deterministic, precision=precision)
-    x = _run_stage(params["stages"][2], x, cfg, 2, rng=rngs[2],
-                   deterministic=deterministic, precision=precision)
-    x = shard_tokens(L.up_sample(params["upsample"], x, cfg.h_tokens,
-                                 precision, rng=rngs[5]))
-    x = _run_stage(params["stages"][3], x, cfg, 3, rng=rngs[3],
-                   deterministic=deterministic, precision=precision)
+    x = shard_tokens(tap("downsample",
+                         L.down_sample(params["downsample"], x, precision,
+                                       rng=rngs[4])))
+    x = tap("stage1", _run_stage(params["stages"][1], x, cfg, 1, rng=rngs[1],
+                                 deterministic=deterministic,
+                                 precision=precision))
+    x = tap("stage2", _run_stage(params["stages"][2], x, cfg, 2, rng=rngs[2],
+                                 deterministic=deterministic,
+                                 precision=precision))
+    x = shard_tokens(tap("upsample",
+                         L.up_sample(params["upsample"], x, cfg.h_tokens,
+                                     precision, rng=rngs[5])))
+    x = tap("stage3", _run_stage(params["stages"][3], x, cfg, 3, rng=rngs[3],
+                                 deterministic=deterministic,
+                                 precision=precision))
 
     x = jnp.concatenate([skip, x], axis=-1)   # (B, Z, H, W, 2C)
     return L.patch_recovery(params["patch_recovery"], x, cfg, precision)

@@ -60,6 +60,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pangu_tpu.ops.block_tail import tail_math
 
+# Partial-unroll factor of the per-longitude-window attention loop inside
+# the whole-block kernels. 1 = plain fori_loop (fast compile); larger
+# values trade Mosaic compile time for cross-iteration pipelining.
+_UNROLL = 1
+
 
 def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
                     h_real: int, hp: int, dw: int, canon_add: int,
@@ -149,7 +154,8 @@ def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
                     preferred_element_type=jnp.float32).astype(x.dtype)
                 return carry
 
-            jax.lax.fori_loop(0, nlon, body, 0, unroll=False)
+            jax.lax.fori_loop(0, nlon, body, 0,
+                              unroll=_UNROLL if _UNROLL > 1 else False)
             acc = acc + jax.lax.dot_general(
                 attn_s[...].reshape(nlon * n, hd), wp_ref[h],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -284,17 +290,90 @@ def _has_lora(p) -> bool:
             or "lora_a" in p["mlp"]["fc1"] or "lora_a" in p["mlp"]["fc2"])
 
 
+def _lon_shift(xs, dw: int, sp_axis: Optional[str], sp_size: int):
+    """Global ``jnp.roll(xs, -dw, axis=3)`` on a storage tensor whose lon
+    axis may be sharded over mesh axis ``sp_axis`` (shard_map context).
+
+    The longitude roll is the ONLY cross-shard communication the
+    shifted-window blocks need (reference torch.roll on W,
+    models/layers.py:199-201): each shard exchanges a half-window halo
+    (|dw| columns of (B, Z, Hp, C)) with one neighbour over ICI via
+    ``lax.ppermute`` — the wrap-around is physically exact on a sphere.
+    """
+    if dw == 0:
+        return xs
+    if sp_axis is None or sp_size == 1:
+        return jnp.roll(xs, -dw, axis=3)
+    if dw > 0:
+        # left shift: local tail comes from the right neighbour's head
+        halo = jax.lax.ppermute(
+            xs[:, :, :, :dw], sp_axis,
+            [((i + 1) % sp_size, i) for i in range(sp_size)])
+        return jnp.concatenate([xs[:, :, :, dw:], halo], axis=3)
+    d = -dw
+    halo = jax.lax.ppermute(
+        xs[:, :, :, -d:], sp_axis,
+        [((i - 1) % sp_size, i) for i in range(sp_size)])
+    return jnp.concatenate([halo, xs[:, :, :, :-d]], axis=3)
+
+
 def stage_supports_fused(stage_params) -> bool:
     return not any(_has_lora(bp) for bp in stage_params["blocks"])
 
 
-def run_stage_fused(stage_params, x, geom, *, fast_math: bool = False):
+def stage_shardable(geom, mesh_shape: dict, batch: int) -> bool:
+    """True when the fused stage can run under shard_map on this mesh:
+    dp must divide the batch, every longitude shard must hold whole
+    windows, and tp must be 1 (head-sharding would split the per-head
+    loop across chips and force a psum before the fused tail)."""
+    dp = mesh_shape.get("dp", 1)
+    sp = mesh_shape.get("sp", 1)
+    tp = mesh_shape.get("tp", 1)
+    return (tp == 1 and batch % dp == 0
+            and geom.w % (sp * geom.window[2]) == 0)
+
+
+def run_stage_fused_sharded(stage_params, x, geom, mesh, *,
+                            fast_math: bool = False):
+    """shard_map wrapper: run the whole-block kernels per (dp, sp) shard.
+
+    GSPMD cannot partition a ``pallas_call``, so under a >1-device mesh
+    the kernels must be invoked per shard with manual collectives — the
+    batch splits over dp, longitude over sp (windowed attention is
+    W-local), and the only communication is the half-window halo exchange
+    of the shifted blocks' longitude roll (see ``_lon_shift``). This keeps
+    the fused-kernel win on a real slice instead of falling back to XLA.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    sp = int(dict(mesh.shape).get("sp", 1))
+    spec_x = P("dp", None, None, "sp", None)
+
+    def inner(params, xx):
+        return run_stage_fused(params, xx, geom, fast_math=fast_math,
+                               sp_axis="sp", sp_size=sp)
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the vma checker insists on
+    return jax.shard_map(inner, mesh=mesh, in_specs=(P(), spec_x),
+                         out_specs=spec_x, check_vma=False)(stage_params, x)
+
+
+def run_stage_fused(stage_params, x, geom, *, fast_math: bool = False,
+                    sp_axis: Optional[str] = None, sp_size: int = 1):
     """Run one EarthSpecificLayer (stack of alternating no-roll/roll
     blocks, models/layers.py:110-125) entirely in whole-block kernels.
 
     x: (B, Z, H, W, C) canonical token grid; returns the same. Storage
     between blocks carries a coordinate offset (see module docstring);
     a single roll + crop at stage end restores canonical layout.
+
+    Under ``shard_map`` with the lon axis sharded over mesh axis
+    ``sp_axis`` (sp_size shards), x is the LOCAL shard: the longitude
+    component of each roll runs as a ppermute halo exchange instead of the
+    in-kernel rotate (which would wrap at shard boundaries), and z/lat
+    components stay in the kernels' index maps. W must be a multiple of
+    the window so every shard holds whole windows.
     """
     wz, wh, ww = geom.window
     B, Z, H, W, C = x.shape
@@ -303,6 +382,7 @@ def run_stage_fused(stage_params, x, geom, *, fast_math: bool = False):
     half = (wz // 2, wh // 2, ww // 2)
     off = (0, 0, 0)
     mask = None
+    sharded = sp_axis is not None and sp_size > 1
 
     for j, bp in enumerate(stage_params["blocks"]):
         shifted = (j % 2 == 1)
@@ -311,11 +391,18 @@ def run_stage_fused(stage_params, x, geom, *, fast_math: bool = False):
         if shifted and mask is None:
             from pangu_tpu.models.layers import window_region_ids
             mask = jnp.asarray(window_region_ids(Z, hp, geom.window))
+        if sharded and delta[2]:
+            xs = _lon_shift(xs, delta[2], sp_axis, sp_size)
+            delta = (delta[0], delta[1], 0)
         xs = _block_v2_call(bp, xs, geom, delta, canon_add=target[1],
                             mask=mask if shifted else None,
                             fast_math=fast_math)
         off = target
 
     if off != (0, 0, 0):
-        xs = jnp.roll(xs, off, axis=(1, 2, 3))
+        if sharded:
+            xs = jnp.roll(xs, off[:2], axis=(1, 2))
+            xs = _lon_shift(xs, -off[2], sp_axis, sp_size)
+        else:
+            xs = jnp.roll(xs, off, axis=(1, 2, 3))
     return xs[:, :, :H]

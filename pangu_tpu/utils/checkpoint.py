@@ -38,17 +38,31 @@ class Checkpointer:
         self._best = ocp.StandardCheckpointer()
 
     # -- periodic ----------------------------------------------------------
-    def save(self, state: Any, epoch: int = 0, step: Optional[int] = None):
+    def save(self, state: Any, epoch: int = 0, step: Optional[int] = None,
+             batch: int = 0):
+        """Periodic checkpoint keyed by global step (falls back to the
+        epoch number when no step is given, the reference's granularity).
+        ``batch`` = train batches already consumed in ``epoch``, so resume
+        can restart mid-epoch at the exact data-iterator position — the
+        step-level granularity the reference lacks
+        (models/pangu_sample.py:93-98 is epoch-only)."""
         key = int(step if step is not None else epoch)
-        self._mgr.save(key, args=ocp.args.StandardSave(state))
+        if key in self._mgr.all_steps():
+            return   # epoch boundary coinciding with a step-interval save
+        payload = {"state": state,
+                   "progress": {"epoch": int(epoch), "batch": int(batch)}}
+        self._mgr.save(key, args=ocp.args.StandardSave(payload))
 
-    def restore_latest(self, template: Any) -> tuple[Any, Optional[int]]:
+    def restore_latest(self, template: Any
+                       ) -> tuple[Any, Optional[int], dict]:
+        """Returns (state, key, progress). progress = {"epoch", "batch"}:
+        the position the next training step should run at."""
         step = self._mgr.latest_step()
         if step is None:
-            return template, None
-        state = self._mgr.restore(step,
-                                  args=ocp.args.StandardRestore(template))
-        return state, step
+            return template, None, {"epoch": 1, "batch": 0}
+        payload = {"state": template, "progress": {"epoch": 0, "batch": 0}}
+        out = self._mgr.restore(step, args=ocp.args.StandardRestore(payload))
+        return out["state"], step, jax.tree.map(int, out["progress"])
 
     # -- best-on-validation ------------------------------------------------
     @property

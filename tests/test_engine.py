@@ -66,8 +66,9 @@ def test_checkpoint_roundtrip(tmp_path):
     ck.wait()
 
     template = jax.tree.map(np.zeros_like, state)
-    restored, step = ck.restore_latest(template)
+    restored, step, progress = ck.restore_latest(template)
     assert step == 1
+    assert progress == {"epoch": 1, "batch": 0}
     np.testing.assert_array_equal(
         np.asarray(restored.params["patch_embed"]["upper"]["kernel"]),
         np.asarray(state.params["patch_embed"]["upper"]["kernel"]))

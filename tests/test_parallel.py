@@ -140,6 +140,46 @@ def test_pallas_config_falls_back_under_mesh(problem):
                                atol=2e-4)
 
 
+def test_pallas_shard_map_keeps_kernels_under_mesh(problem, monkeypatch):
+    """Under a dp=2/sp=2 (tp=1) mesh the fused Pallas stage must run via
+    shard_map — kernels per shard, the shifted blocks' longitude roll as a
+    ppermute halo exchange — not the XLA fallback, and match the
+    single-device numerics (interpret mode on the virtual CPU mesh)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import pangu_tpu.ops.earth_block_fused as EBF
+
+    params, consts, batch = problem
+    cfg_p = dataclasses.replace(CFG, attn_impl="pallas")
+    u = jnp.asarray(batch["upper"])
+    s = jnp.asarray(batch["surface"])
+    ref = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts, CFG))(
+        params, u, s)
+
+    calls = []
+    orig = EBF.run_stage_fused_sharded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(EBF, "run_stage_fused_sharded", spy)
+
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=2, tp=1))
+    sp = jax.device_put(params, S.param_shardings(mesh, params))
+    bsh = S.batch_shardings(mesh)
+    su = jax.device_put(u, bsh["upper"])
+    ss = jax.device_put(s, bsh["surface"])
+    with jax.set_mesh(mesh), pltpu.force_tpu_interpret_mode():
+        got = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts,
+                                                    cfg_p))(sp, su, ss)
+    assert len(calls) == 4, "expected all 4 stages on the shard_map path"
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=2e-4)
+
+
 def test_initialize_distributed_env_detection(monkeypatch):
     """initialize_distributed must decide from the ENVIRONMENT (explicit
     coordinator or multi-task SLURM) and call

@@ -103,6 +103,72 @@ def test_train_step_reduces_loss_on_fixed_batch():
     assert int(state.step) == 3
 
 
+def test_step_granular_resume_continues_trajectory(tmp_path):
+    """Kill mid-epoch, resume from the step-interval checkpoint, and the
+    parameter trajectory must continue EXACTLY as the uninterrupted run:
+    same batches consumed, same per-step RNG stream (fold_in on the global
+    step), same final params. The reference can only restart at epoch
+    boundaries (models/pangu_sample.py:93-98)."""
+    import dataclasses
+    from pangu_tpu.config import Config, TINY
+    from pangu_tpu.data.constants import synthetic_constants
+    from pangu_tpu.models import pangu
+    from pangu_tpu.utils.checkpoint import Checkpointer
+
+    cfgT = dataclasses.replace(TINY, remat=False)
+    tcfg = TrainConfig(lr=1e-3, weight_decay=0.0, epochs=1, save_steps=2,
+                       save_interval=1000, val_interval=1000)
+    conf = Config(train=tcfg)
+    consts = {k: jnp.asarray(v) for k, v in synthetic_constants(cfgT).items()}
+    params = pangu.init_params(jax.random.PRNGKey(0), cfgT)
+    tx = T.make_optimizer(tcfg, steps_per_epoch=5)
+    step = T.make_train_step(cfgT, tcfg, consts, tx)
+
+    r = np.random.default_rng(5)
+
+    def mk_batch(i):
+        u = jnp.asarray(r.normal(size=(1, 5, cfgT.levels, cfgT.lat,
+                                       cfgT.lon)).astype(np.float32))
+        s = jnp.asarray(r.normal(size=(1, 4, cfgT.lat, cfgT.lon)
+                                 ).astype(np.float32))
+        return {"upper": u, "surface": s, "target_upper": u,
+                "target_surface": s}
+
+    batches = [mk_batch(i) for i in range(5)]
+    rng = jax.random.PRNGKey(42)
+
+    # uninterrupted run over all 5 batches
+    sA = T.create_train_state(params, tx)
+    sA, _ = T.train_loop(conf, sA, step, lambda p, b: {"loss": jnp.zeros(())},
+                         train_batches=lambda e: iter(batches),
+                         val_batches=lambda: iter([]), rng=rng)
+    assert int(sA.step) == 5
+
+    # interrupted run: dies after 3 steps; save_steps=2 -> checkpoint @2
+    ck = Checkpointer(str(tmp_path / "run"))
+    sB = T.create_train_state(params, tx)
+    sB, _ = T.train_loop(conf, sB, step, lambda p, b: {"loss": jnp.zeros(())},
+                         train_batches=lambda e: iter(batches[:3]),
+                         val_batches=lambda: iter([]), rng=rng,
+                         checkpointer=ck)
+    ck.wait()
+
+    # resume: restore step-2 checkpoint, continue through the full epoch
+    template = jax.tree.map(np.zeros_like, T.create_train_state(params, tx))
+    restored, key, progress = ck.restore_latest(template)
+    assert key == 2 and progress == {"epoch": 1, "batch": 2}
+    sC, _ = T.train_loop(conf, restored, step,
+                         lambda p, b: {"loss": jnp.zeros(())},
+                         train_batches=lambda e: iter(batches),
+                         val_batches=lambda: iter([]), rng=rng,
+                         start_epoch=progress["epoch"],
+                         start_batch=progress["batch"])
+    ck.close()
+    assert int(sC.step) == 5
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=0), sA.params, sC.params)
+
+
 def test_train_loop_early_stopping():
     """Early stop after `patience` non-improving validations
     (models/pangu_sample.py:160-173), best params retained."""
