@@ -47,7 +47,23 @@ def main_with_retries():
 
 
 def main():
+    import os
+
     import jax
+
+    # Persistent compilation cache: the ~16 distinct Mosaic kernel
+    # geometries cost minutes of fresh compile; cached runs start in
+    # seconds. Keyed by HLO, so stale entries are never wrong.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from pangu_tpu.config import PANGU_24

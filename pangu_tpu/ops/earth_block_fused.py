@@ -60,10 +60,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pangu_tpu.ops.block_tail import tail_math
 
-# Partial-unroll factor of the per-longitude-window attention loop inside
-# the whole-block kernels. 1 = plain fori_loop (fast compile); larger
-# values trade Mosaic compile time for cross-iteration pipelining.
-_UNROLL = 1
+
+def _lon_chunk(nlon: int, target: int = 5) -> int:
+    """Largest divisor of nlon that is <= target (lon windows batched per
+    attention dot_general)."""
+    for c in range(min(nlon, target), 0, -1):
+        if nlon % c == 0:
+            return c
+    return 1
 
 
 def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
@@ -73,13 +77,13 @@ def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
     n = wz * wh * ww
     g = wh // 2
     scale = hd ** -0.5
+    chunk = _lon_chunk(nlon)
 
     def kernel(*refs):
         xs = refs[:n_x_refs]
         i = n_x_refs
-        (wq_ref, wk_ref, wv_ref, bq_ref, bk_ref, bv_ref, wp_ref, bp_ref,
-         b_ref) = refs[i:i + 9]
-        i += 9
+        (wqkv_ref, bqkv_ref, wp_ref, bp_ref, b_ref) = refs[i:i + 5]
+        i += 5
         ids_ref = None
         if has_mask:
             ids_ref = refs[i]
@@ -87,7 +91,7 @@ def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
         (n1s_ref, n1b_ref, n2s_ref, n2b_ref,
          w1_ref, b1_ref, w2_ref, b2_ref) = refs[i:i + 8]
         o_ref = refs[i + 8]
-        q_s, k_s, v_s, attn_s = refs[i + 9:i + 13]   # VMEM scratch
+        qkv_s, attn_s = refs[i + 9:i + 11]           # VMEM scratch
 
         # ---- assemble the (wz, wh, W, C) window row, already "rolled" --
         if n_x_refs == 1:
@@ -110,56 +114,59 @@ def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
             canon = jax.lax.rem(wh * hh + lat_iota + canon_add, hp)
             x = jnp.where(canon < h_real, x, jnp.zeros_like(x))
 
-        # ---- fused qkv + attention + proj (per-head weight slices) -----
         xw = x.reshape(wz, wh, nlon, ww, c).transpose(2, 0, 1, 3, 4)
         xf = xw.reshape(nlon * n, c)
-        acc = jnp.zeros((nlon * n, c), jnp.float32)
-        sc = jnp.asarray(scale, x.dtype)
-        mask_add = None
+        dt = x.dtype
+
+        # ---- ONE wide qkv projection: full MXU lanes (the per-head
+        # (C, hd) formulation runs at 25% lane occupancy — measured 1.7x
+        # slower end to end) --------------------------------------------
+        qkv = jax.lax.dot_general(
+            xf, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkv = qkv + bqkv_ref[...][None].astype(jnp.float32)
+        qkv_s[...] = qkv.astype(dt).reshape(nlon, n, 3 * c)
+
+        bias = b_ref[0].astype(jnp.float32)          # (heads, n, n)
         if ids_ref is not None:
             # shifted-window mask rebuilt from per-token region ids (tiny
             # operand; the (N, N) -100 tensor never touches HBM)
-            r = ids_ref[...][0]                    # (1, n) int32
-            mask_add = jnp.where(r[0][None, :] != r[0][:, None],
-                                 jnp.float32(-100.0), jnp.float32(0.0))
-        for h in range(heads):
-            def _proj(w_ref2, b2_ref):
-                t = jax.lax.dot_general(
-                    xf, w_ref2[h], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                t = t + b2_ref[h].astype(jnp.float32)
-                return t.astype(x.dtype).reshape(nlon, n, hd)
+            r = ids_ref[...][0]                      # (1, n) int32
+            bias = bias + jnp.where(r[0][None, :] != r[0][:, None],
+                                    jnp.float32(-100.0), jnp.float32(0.0))
 
-            q_s[...] = _proj(wq_ref, bq_ref) * sc
-            k_s[...] = _proj(wk_ref, bk_ref)
-            v_s[...] = _proj(wv_ref, bv_ref)
-            add = b_ref[0, h].astype(jnp.float32)
-            if mask_add is not None:
-                add = add + mask_add
-
-            # softmax(q k^T + bias) v per longitude window, as a
-            # fori_loop of 2-D matmuls over VMEM scratch: a batched
-            # dot_general over the nlon dim would be fully UNROLLED by
-            # Mosaic — ~3 min compile per kernel at nlon=30 vs seconds
-            # with the loop
-            def body(ll, carry):
+        # ---- attention: fori_loop over lon-window chunks; per head the
+        # q/k/v tiles come from lane-offset REF slices of the wide qkv
+        # scratch (reshapes across lanes are Mosaic-unsupported), and the
+        # chunk rides the (single allowed) dot_general batch dim ---------
+        def body(ll, carry):
+            lo = ll * chunk
+            for h in range(heads):
+                q = qkv_s[pl.ds(lo, chunk), :, h * hd:(h + 1) * hd]
+                k = qkv_s[pl.ds(lo, chunk), :, c + h * hd:c + (h + 1) * hd]
+                v = qkv_s[pl.ds(lo, chunk), :,
+                          2 * c + h * hd:2 * c + (h + 1) * hd]
                 s = jax.lax.dot_general(
-                    q_s[ll], k_s[ll], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) + add
+                    q, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                s = s * jnp.float32(scale) + bias[h][None]
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
-                pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x.dtype)
-                attn_s[ll] = jax.lax.dot_general(
-                    pr, v_s[ll], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(x.dtype)
-                return carry
+                pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+                o = jax.lax.dot_general(
+                    pr, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                attn_s[pl.ds(lo, chunk), :,
+                       h * hd:(h + 1) * hd] = o.astype(dt)
+            return carry
 
-            jax.lax.fori_loop(0, nlon, body, 0,
-                              unroll=_UNROLL if _UNROLL > 1 else False)
-            acc = acc + jax.lax.dot_general(
-                attn_s[...].reshape(nlon * n, hd), wp_ref[h],
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        a = (acc + bp_ref[...][None].astype(jnp.float32)).astype(x.dtype)
+        jax.lax.fori_loop(0, nlon // chunk, body, 0, unroll=False)
+
+        # ---- ONE wide output projection --------------------------------
+        a = jax.lax.dot_general(
+            attn_s[...].reshape(nlon * n, c), wp_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a = (a + bp_ref[...][None].astype(jnp.float32)).astype(dt)
 
         # ---- block tail, token-local so valid in rolled coords ---------
         y = tail_math(a, xf, n1s_ref[...], n1b_ref[...], n2s_ref[...],
@@ -212,15 +219,9 @@ def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
                                 memory_space=pltpu.VMEM)]
 
     dt = xs.dtype
-    qk = p["attn"]["qkv"]["kernel"].astype(dt)
-    wq = qk[:, :c].reshape(c, heads, hd).transpose(1, 0, 2)
-    wk = qk[:, c:2 * c].reshape(c, heads, hd).transpose(1, 0, 2)
-    wv = qk[:, 2 * c:].reshape(c, heads, hd).transpose(1, 0, 2)
-    qb = p["attn"]["qkv"]["bias"].astype(dt)
-    bq = qb[:c].reshape(heads, 1, hd)
-    bk = qb[c:2 * c].reshape(heads, 1, hd)
-    bv = qb[2 * c:].reshape(heads, 1, hd)
-    wp = p["attn"]["proj"]["kernel"].astype(dt).reshape(heads, hd, c)
+    wqkv = p["attn"]["qkv"]["kernel"].astype(dt)
+    bqkv = p["attn"]["qkv"]["bias"].astype(dt)
+    wp = p["attn"]["proj"]["kernel"].astype(dt)
     bp = p["attn"]["proj"]["bias"].astype(dt)
     bias = p["attn"]["bias_table"]          # native dtype; cast per-tile
 
@@ -232,10 +233,8 @@ def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
         return pl.BlockSpec(shape, lambda bb, zz, hh: tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
-    operands = [xs, wq, wk, wv, bq, bk, bv, wp, bp, bias]
-    in_specs = x_specs + [fullspec(wq.shape), fullspec(wk.shape),
-                          fullspec(wv.shape), fullspec(bq.shape),
-                          fullspec(bk.shape), fullspec(bv.shape),
+    operands = [xs, wqkv, bqkv, wp, bp, bias]
+    in_specs = x_specs + [fullspec(wqkv.shape), fullspec(bqkv.shape),
                           fullspec(wp.shape), fullspec(bp.shape), spec_b]
     if stitch:
         operands = [xs, xs, xs, xs] + operands[1:]
@@ -263,7 +262,8 @@ def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
                             lambda bb, zz, hh: (bb, zz, hh, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    scratch = [pltpu.VMEM((nlon, n, hd), dt) for _ in range(4)]
+    scratch = [pltpu.VMEM((nlon, n, 3 * c), dt),
+               pltpu.VMEM((nlon, n, c), dt)]
 
     return pl.pallas_call(
         _make_v2_kernel(heads, hd, geom.window, nlon, c, geom.h, hp, dw,
@@ -276,7 +276,7 @@ def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=128 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * z * hp * w * c * (4 * c + 2 * n + 8 * c),
             bytes_accessed=2 * xs.size * dt.itemsize
