@@ -489,10 +489,225 @@ def _grid_attention_pallas(x, wqkv, bqkv, wp, bp, bias, window):
     )(x, wqkv, bqkv, wp, bp, bias)
 
 
+def _make_grid_bwd_kernel(heads: int, hd: int, wz: int, wh: int, ww: int,
+                          nlon: int, c: int):
+    """Fused backward of the grid-layout attention: recompute qkv +
+    softmax in VMEM, then dX / dWqkv / dbqkv / dWp / dbp / dbias — all in
+    ONE kernel on the (B, Z, Hp, W, C) grid. No window partition/reverse
+    transposes anywhere; weight gradients accumulate into resident fp32
+    output blocks across the (serialised) grid."""
+    scale = hd ** -0.5
+    n = wz * wh * ww
+    chunk = _lon_chunk(nlon)
+
+    def kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wp_ref, b_ref,
+               dx_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref, db_ref,
+               qkv_s, attn_s, da_s, dqkv_s):
+        first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+                 & (pl.program_id(2) == 0))
+
+        @pl.when(first)
+        def _():
+            dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+            dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+            dwp_ref[...] = jnp.zeros_like(dwp_ref)
+            dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            # dbias block is resident per window type (batch innermost in
+            # the grid); zero it on the first batch visit
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        x = x_ref[0].reshape(wz, wh, nlon, ww, c).transpose(2, 0, 1, 3, 4)
+        xf = x.reshape(nlon * n, c)
+        gg = g_ref[0].reshape(wz, wh, nlon, ww, c).transpose(2, 0, 1, 3, 4)
+        gf = gg.reshape(nlon * n, c)
+        dt = xf.dtype
+
+        # ---- recompute qkv + attention output (needed for dWp) ---------
+        qkv = jax.lax.dot_general(
+            xf, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkv = qkv + bqkv_ref[...][None].astype(jnp.float32)
+        qkv_s[...] = qkv.astype(dt).reshape(nlon, n, 3 * c)
+
+        bias = b_ref[0].astype(jnp.float32)
+
+        def fwd_body(ll, carry):
+            lo = ll * chunk
+            for h in range(heads):
+                q = qkv_s[pl.ds(lo, chunk), :, h * hd:(h + 1) * hd]
+                k = qkv_s[pl.ds(lo, chunk), :, c + h * hd:c + (h + 1) * hd]
+                v = qkv_s[pl.ds(lo, chunk), :,
+                          2 * c + h * hd:2 * c + (h + 1) * hd]
+                s = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                s = s * jnp.float32(scale) + bias[h][None]
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+                o = jax.lax.dot_general(
+                    pr, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                attn_s[pl.ds(lo, chunk), :,
+                       h * hd:(h + 1) * hd] = o.astype(dt)
+            return carry
+
+        jax.lax.fori_loop(0, nlon // chunk, fwd_body, 0, unroll=False)
+
+        # ---- proj backward (wide matmuls) -------------------------------
+        af = attn_s[...].reshape(nlon * n, c)
+        dwp_ref[...] += jax.lax.dot_general(
+            af, gf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbp_ref[...] += jnp.sum(gf.astype(jnp.float32), axis=0,
+                                keepdims=True)
+        da = jax.lax.dot_general(
+            gf, wp_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        da_s[...] = da.astype(dt).reshape(nlon, n, c)
+
+        # ---- attention backward per lon chunk / head --------------------
+        def bwd_body(ll, carry):
+            lo = ll * chunk
+            for h in range(heads):
+                q = qkv_s[pl.ds(lo, chunk), :, h * hd:(h + 1) * hd]
+                k = qkv_s[pl.ds(lo, chunk), :, c + h * hd:c + (h + 1) * hd]
+                v = qkv_s[pl.ds(lo, chunk), :,
+                          2 * c + h * hd:2 * c + (h + 1) * hd]
+                do = da_s[pl.ds(lo, chunk), :, h * hd:(h + 1) * hd]
+                s = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                s = s * jnp.float32(scale) + bias[h][None]
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                p32 = e / jnp.sum(e, axis=-1, keepdims=True)
+                p = p32.astype(dt)
+
+                # dV[kk,d] = sum_q P[q,kk] dO[q,d]
+                dv = jax.lax.dot_general(
+                    p, do, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                # dP[q,kk] = sum_d dO[q,d] V[kk,d]
+                dp = jax.lax.dot_general(
+                    do, v, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                ds32 = p32 * (dp - jnp.sum(dp * p32, axis=-1,
+                                           keepdims=True))
+                db_ref[0, h] += jnp.sum(ds32, axis=0)
+                ds = ds32.astype(dt)
+                # dQ[q,d] = scale * sum_k dS[q,kk] K[kk,d]
+                dq = jax.lax.dot_general(
+                    ds, k, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32
+                ) * jnp.float32(scale)
+                # dK[kk,d] = scale * sum_q dS[q,kk] Q[q,d]
+                dk = jax.lax.dot_general(
+                    ds, q, (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32
+                ) * jnp.float32(scale)
+                dqkv_s[pl.ds(lo, chunk), :,
+                       h * hd:(h + 1) * hd] = dq.astype(dt)
+                dqkv_s[pl.ds(lo, chunk), :,
+                       c + h * hd:c + (h + 1) * hd] = dk.astype(dt)
+                dqkv_s[pl.ds(lo, chunk), :,
+                       2 * c + h * hd:2 * c + (h + 1) * hd] = dv.astype(dt)
+            return carry
+
+        jax.lax.fori_loop(0, nlon // chunk, bwd_body, 0, unroll=False)
+
+        # ---- qkv backward (wide matmuls) --------------------------------
+        dqkvf = dqkv_s[...].reshape(nlon * n, 3 * c)
+        dwqkv_ref[...] += jax.lax.dot_general(
+            xf, dqkvf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dbqkv_ref[...] += jnp.sum(dqkvf.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+        dxf = jax.lax.dot_general(
+            dqkvf, wqkv_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx = dxf.astype(dt).reshape(nlon, wz, wh, ww, c)
+        dx = dx.transpose(1, 2, 0, 3, 4)
+        dx_ref[0] = dx.reshape(wz, wh, nlon * ww, c)
+
+    return kernel
+
+
+def _grid_attention_bwd_pallas(x, g, wqkv, bqkv, wp, bias, window):
+    """Returns (dx, dwqkv, dbqkv, dwp, dbp, dbias) — fp32 weight grads.
+
+    Grid order is (z-windows, lat-windows, batch) with batch INNERMOST so
+    every revisit of a resident accumulator block (the weight grads and
+    the per-type dbias slice) is consecutive."""
+    b, z, hp, w, c = x.shape
+    wz, wh, ww = window
+    heads = bias.shape[1]
+    hd = c // heads
+    nlat = hp // wh
+    nlon = w // ww
+    n = wz * wh * ww
+    ntype = bias.shape[0]
+
+    spec_x = pl.BlockSpec((1, wz, wh, w, c),
+                          lambda zz, hh, bb: (bb, zz, hh, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_b = pl.BlockSpec((1, heads, n, n),
+                          lambda zz, hh, bb: (zz * nlat + hh, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def resident(shape):
+        return pl.BlockSpec(shape, lambda zz, hh, bb: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct(x.shape, x.dtype),            # dx
+        jax.ShapeDtypeStruct((c, 3 * c), jnp.float32),     # dwqkv
+        jax.ShapeDtypeStruct((1, 3 * c), jnp.float32),     # dbqkv
+        jax.ShapeDtypeStruct((c, c), jnp.float32),         # dwp
+        jax.ShapeDtypeStruct((1, c), jnp.float32),         # dbp
+        jax.ShapeDtypeStruct((ntype, heads, n, n), jnp.float32),  # dbias
+    )
+    out_specs = (spec_x, resident((c, 3 * c)), resident((1, 3 * c)),
+                 resident((c, c)), resident((1, c)), spec_b)
+
+    return pl.pallas_call(
+        _make_grid_bwd_kernel(heads, hd, wz, wh, ww, nlon, c),
+        out_shape=out_shapes,
+        grid=(z // wz, nlat, b),
+        in_specs=[spec_x, spec_x, resident(wqkv.shape),
+                  resident(bqkv.shape), resident(wp.shape), spec_b],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((nlon, n, 3 * c), x.dtype),
+                        pltpu.VMEM((nlon, n, c), x.dtype),
+                        pltpu.VMEM((nlon, n, c), x.dtype),
+                        pltpu.VMEM((nlon, n, 3 * c), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            # weight grads accumulate across programs -> fully serialised
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(x, g, wqkv, bqkv, wp, bias)
+
+
+# Backward implementation for the grid-layout attention custom_vjp:
+#   "xla"    — vjp through the partition composition (XLA transposes +
+#              the fused sdpa bwd kernel)
+#   "pallas" — the one-kernel fused grid bwd (_grid_attention_bwd_pallas)
+# In per-block A/B micro-benchmarks (with remat + weight grads) the pallas
+# bwd wins (stage-1 two-block chain: 39.6 vs 55.4 ms), but in the FULL
+# 16-block train step it regresses 1.39 s -> 3.39 s — some global
+# XLA-schedule/memory interaction not yet understood (NOTES.md). Default
+# stays "xla" until that is root-caused; flip via PANGU_GRID_BWD=pallas.
+import os as _os
+
+GRID_BWD_IMPL = _os.environ.get("PANGU_GRID_BWD", "xla")
+
+
 @functools.lru_cache(maxsize=8)
 def _grid_core(heads: int, window):
-    """custom_vjp: grid-layout fused forward; backward = XLA partition +
-    the existing fused sdpa backward composition."""
+    """custom_vjp: grid-layout fused forward; backward per GRID_BWD_IMPL."""
     wz, wh, ww = window
 
     def ref(xg, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias):
@@ -527,8 +742,19 @@ def _grid_core(heads: int, window):
         return _run(*args), args
 
     def bwd(res, g):
-        _, vjp = jax.vjp(ref, *res)
-        return vjp(g)
+        if GRID_BWD_IMPL != "pallas":
+            _, vjp = jax.vjp(ref, *res)
+            return vjp(g)
+        xg, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias = res
+        dt = xg.dtype
+        dx, dwqkv, dbqkv, dwp, dbp, dbias = _grid_attention_bwd_pallas(
+            xg, g.astype(dt), qkv_kernel.astype(dt), qkv_bias.astype(dt),
+            proj_kernel.astype(dt), bias, window)
+        return (dx, dwqkv.astype(qkv_kernel.dtype),
+                dbqkv[0].astype(qkv_bias.dtype),
+                dwp.astype(proj_kernel.dtype),
+                dbp[0].astype(proj_bias.dtype),
+                dbias.astype(bias.dtype))
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -602,27 +828,16 @@ def _block_fused_pallas(xg, wqkv, bqkv, wp, bp, bias,
 
 @functools.lru_cache(maxsize=8)
 def _block_core(heads: int, window, fast_math: bool):
-    """custom_vjp whole-block (no-roll) kernel; backward through the XLA
-    composition (attention ref + tail)."""
+    """custom_vjp whole-block (no-roll) kernel; backward composes the
+    fused grid-attention custom_vjp (pallas fwd + pallas bwd, zero
+    partition transposes) with the XLA tail backward."""
 
     def ref(xg, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias,
             n1s, n1b, n2s, n2b, w1, b1, w2, b2):
-        # direct composition (partition -> sdpa -> reverse -> tail)
         from pangu_tpu.models import layers as L
-        from pangu_tpu.models.layers import window_partition, window_reverse
-        bsz, z, hp, w, c = xg.shape
-        win = window_partition(xg, window)
-        nlon, ntype, n = win.shape[1], win.shape[2], win.shape[3]
-        hd = c // heads
-        qkv = jnp.dot(win.reshape(-1, c), qkv_kernel).reshape(
-            bsz * nlon, ntype, n, 3 * c) + qkv_bias
-        qkv = qkv.reshape(bsz * nlon, ntype, n, 3, heads, hd)
-        qkv = qkv.transpose(0, 1, 3, 4, 5, 2)
-        out = _sdpa(qkv, bias)
-        out = out.transpose(0, 1, 4, 2, 3).reshape(bsz, nlon, ntype, n, c)
-        out = (jnp.dot(out.reshape(-1, c), proj_kernel).reshape(
-            bsz, nlon, ntype, n, c) + proj_bias)
-        a = window_reverse(out, window, z, hp, w)
+        c = xg.shape[-1]
+        a = _grid_core(heads, window)(xg, qkv_kernel, qkv_bias,
+                                      proj_kernel, proj_bias, bias)
         x1 = xg + L.layer_norm({"scale": n1s, "bias": n1b}, a,
                                fast=fast_math)
         h = jax.nn.gelu(jnp.dot(x1.reshape(-1, c), w1) + b1,

@@ -1,0 +1,65 @@
+"""Train-step latency decomposition on the live TPU (one process).
+
+Times the full-size jitted train step under: pallas+remat (current),
+pallas no-remat, xla+remat, xla no-remat — chained via the evolving
+optimizer state (no result caching).
+"""
+
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pangu_tpu.config import PANGU_24, TrainConfig
+    from pangu_tpu.data.constants import synthetic_constants
+    from pangu_tpu.engine import train as T
+    from pangu_tpu.models import pangu
+
+    which = sys.argv[1:] if len(sys.argv) > 1 else ["pallas+remat"]
+
+    base = dataclasses.replace(PANGU_24, param_dtype="bfloat16",
+                               compute_dtype="bfloat16")
+    tcfg = TrainConfig(batch_size=1)
+    params = pangu.init_params(jax.random.PRNGKey(0), base)
+    constants = {k: jnp.asarray(v)
+                 for k, v in synthetic_constants(base).items()}
+    r = np.random.default_rng(0)
+    batch = {
+        "upper": jnp.asarray(r.normal(size=(1, 5, 13, 721, 1440)
+                                      ).astype(np.float32)),
+        "surface": jnp.asarray(r.normal(size=(1, 4, 721, 1440)
+                                        ).astype(np.float32)),
+    }
+    batch["target_upper"] = batch["upper"]
+    batch["target_surface"] = batch["surface"]
+
+    for tag in which:
+        attn, _, rem = tag.partition("+")
+        cfg = dataclasses.replace(base, attn_impl=attn, remat=(rem == "remat"))
+        tx = T.make_optimizer(tcfg, steps_per_epoch=100)
+        state = T.create_train_state(params, tx)
+        step = T.make_train_step(cfg, tcfg, constants, tx, donate=True)
+        key = jax.random.PRNGKey(1)
+        t0 = time.perf_counter()
+        state, m = step(state, batch, key)
+        jax.block_until_ready(m["loss"])
+        comp = time.perf_counter() - t0
+        n = 5
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, m = step(state, batch, jax.random.fold_in(key, i))
+        jax.block_until_ready(m["loss"])
+        ms = (time.perf_counter() - t0) / n * 1e3
+        print(f"train {tag:16s}: {ms:8.1f} ms/step (compile+warm {comp:.0f}s)",
+              flush=True)
+        del state
+
+
+if __name__ == "__main__":
+    main()

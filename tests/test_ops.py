@@ -224,6 +224,41 @@ def test_grid_attention_gradients():
         np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3), gg, gx)
 
 
+def test_grid_attention_pallas_bwd_kernel(monkeypatch):
+    """The one-kernel fused grid backward (PANGU_GRID_BWD=pallas):
+    dX and every weight/bias gradient must match the XLA composition.
+    Covers B=2 so the resident accumulator blocks (dW*, per-type dbias)
+    are revisited across the innermost batch grid dim."""
+    B, Z, Hp, Wd, C, heads = 2, 2, 6, 24, 8, 2
+    window = (2, 6, 12)
+    ntype = (Z // 2) * (Hp // 6)
+    xg = jnp.asarray(RNG.normal(size=(B, Z, Hp, Wd, C)).astype(np.float32))
+    args = (
+        jnp.asarray(RNG.normal(size=(C, 3 * C)).astype(np.float32) * 0.1),
+        jnp.asarray(RNG.normal(size=(3 * C,)).astype(np.float32) * 0.1),
+        jnp.asarray(RNG.normal(size=(C, C)).astype(np.float32) * 0.1),
+        jnp.asarray(RNG.normal(size=(C,)).astype(np.float32) * 0.1),
+        jnp.asarray(RNG.normal(size=(ntype, heads, 144, 144)
+                               ).astype(np.float32) * 0.1),
+    )
+
+    def loss(impl, *a):
+        monkeypatch.setattr(W, "GRID_BWD_IMPL", impl)
+        W._grid_core.cache_clear()
+        core = W._grid_core(heads, window)
+        return lambda xg, *aa: jnp.sum(core(xg, *aa) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss("pallas"), argnums=tuple(range(6)))(xg, *args)
+        # the "xla" bwd still runs the pallas fwd + sdpa kernels inside
+        gx = jax.grad(loss("xla"), argnums=tuple(range(6)))(xg, *args)
+    W._grid_core.cache_clear()
+    names = ["dx", "dwqkv", "dbqkv", "dwp", "dbp", "dbias"]
+    for name, a, b in zip(names, gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3, err_msg=name)
+
+
 def test_grid_attention_batch2():
     """Batch dimension rides the grid correctly (B=2 must equal two
     independent B=1 calls)."""
