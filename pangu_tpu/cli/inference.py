@@ -48,6 +48,10 @@ def main(argv=None):
                         "Requires onnxruntime (optional dependency)")
     p.add_argument("--ort-providers", default="cpu",
                    help="comma list for --onnx-baseline: cpu and/or cuda")
+    p.add_argument("--token-space", action="store_true",
+                   help="chain rollout steps in token space (fuse "
+                        "recovery->embed between steps; identical math, "
+                        "see engine/transition.py)")
     args = p.parse_args(argv)
 
     M.initialize_distributed()
@@ -118,7 +122,8 @@ def main(argv=None):
             steps = len(schedule)
         else:
             steps = cfg.data.horizon // 24
-            roll = R.make_rollout(cfg.model, constants, steps)
+            roll = R.make_rollout(cfg.model, constants, steps,
+                                  token_space=args.token_space)
 
         @jax.jit
         def score(pu, ps, tu, ts):

@@ -31,10 +31,23 @@ def single_step(params, upper, surface, constants, cfg: ModelConfig,
 
 
 def make_rollout(cfg: ModelConfig, constants, steps: int, *,
-                 return_trajectory: bool = False, precision=None):
+                 return_trajectory: bool = False, precision=None,
+                 token_space: bool = False):
     """Build a jitted rollout fn: (params, upper, surface) -> final state
     [, stacked per-step trajectory]. ``steps`` = horizon // 24
-    (inference_singleOutput.py:92). State buffers are donated."""
+    (inference_singleOutput.py:92). State buffers are donated.
+
+    ``token_space=True`` chains intermediate steps through the composed
+    recovery->embed transition (engine/transition.py): the canonical
+    physical-unit state is only materialised where an output is due (every
+    step with ``return_trajectory``, else just the last), which removes
+    the patch-recovery interleave + de/re-norm + patch-embed conv from
+    every chained step. Identical math (the de-norm/re-norm cancel
+    exactly); tested against the canonical loop in
+    tests/test_transition.py."""
+    from pangu_tpu.engine.transition import apply_transition, build_transition
+    from pangu_tpu.models import layers as L
+    from pangu_tpu.parallel.sharding import shard_tokens
 
     def rollout(params, upper, surface, constants):
         def body(carry, _):
@@ -46,11 +59,39 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
                                     length=steps)
         return ((u, s), traj) if return_trajectory else (u, s)
 
+    def rollout_tokens(params, upper, surface, constants):
+        tp = build_transition(params, constants, cfg)
+        cdt = jnp.dtype(cfg.compute_dtype)
+        x = shard_tokens(L.patch_embed(params["patch_embed"],
+                                       upper.astype(cdt), surface.astype(cdt),
+                                       constants, cfg, precision))
+
+        def recover(x_cat):
+            out_u, out_s = L.patch_recovery(params["patch_recovery"], x_cat,
+                                            cfg, precision)
+            return denorm_data(out_u, out_s, constants)
+
+        def body(x, _):
+            x_cat = pangu.forward_core(params, x, cfg, deterministic=True,
+                                       precision=precision)
+            nxt = shard_tokens(apply_transition(tp, x_cat))
+            return nxt, (recover(x_cat) if return_trajectory else None)
+
+        if return_trajectory:
+            _, traj = jax.lax.scan(body, x, None, length=steps)
+            final = jax.tree.map(lambda a: a[-1], traj)
+            return final, traj
+        x, _ = jax.lax.scan(body, x, None, length=steps - 1)
+        x_cat = pangu.forward_core(params, x, cfg, deterministic=True,
+                                   precision=precision)
+        return recover(x_cat)
+
     # constants enter the jit as a traced ARGUMENT: closing over the
     # device arrays would inline the ~67 MB const_h/mask fields as
     # literals into the compiled program (134 MB MLIR, enough to OOM the
     # TPU compile helper)
-    jitted = jax.jit(rollout, donate_argnums=(1, 2))
+    jitted = jax.jit(rollout_tokens if token_space else rollout,
+                     donate_argnums=(1, 2))
     return lambda params, upper, surface: jitted(params, upper, surface,
                                                  constants)
 

@@ -160,23 +160,16 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
     return x
 
 
-def forward(params, upper, surface, constants, cfg: ModelConfig, *,
-            rng: Optional[jax.Array] = None, deterministic: bool = True,
-            precision=None, taps: Optional[dict] = None):
-    """Full forward step.
+def forward_core(params, x, cfg: ModelConfig, *,
+                 rng: Optional[jax.Array] = None, deterministic: bool = True,
+                 precision=None, taps: Optional[dict] = None):
+    """Encoder/decoder trunk on the embedded token grid: stages + down/up
+    sampling + skip concat. (B, Z, H, W, C) tokens in, (B, Z, H, W, 2C)
+    pre-recovery features out (models/pangu_model.py:56-84).
 
-    upper (B, 5, levels, lat, lon), surface (B, 4, lat, lon), raw physical
-    units in; *normalised* prediction out (models/pangu_model.py:50-87).
-
-    ``taps``: pass a dict to collect per-stage activations (embed,
-    stage0..3, downsample, upsample) — the golden-activation hook used by
-    cli/parity_check.py to localise any divergence against a reference
-    activation dump.
-    """
-    cdt = jnp.dtype(cfg.compute_dtype)
-    upper = upper.astype(cdt)
-    surface = surface.astype(cdt)
-
+    Exposed separately from :func:`forward` so the token-space rollout
+    (engine/transition.py) can chain autoregressive steps without
+    round-tripping through the canonical physical-unit state."""
     rngs = [None] * 6
     if rng is not None and not deterministic:
         rngs = list(jax.random.split(rng, 6))
@@ -185,10 +178,6 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
         if taps is not None:
             taps[name] = val
         return val
-
-    x = tap("embed", L.patch_embed(params["patch_embed"], upper, surface,
-                                   constants, cfg, precision))
-    x = shard_tokens(x)
 
     x = tap("stage0", _run_stage(params["stages"][0], x, cfg, 0, rng=rngs[0],
                                  deterministic=deterministic,
@@ -210,7 +199,33 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
                                  deterministic=deterministic,
                                  precision=precision))
 
-    x = jnp.concatenate([skip, x], axis=-1)   # (B, Z, H, W, 2C)
+    return jnp.concatenate([skip, x], axis=-1)   # (B, Z, H, W, 2C)
+
+
+def forward(params, upper, surface, constants, cfg: ModelConfig, *,
+            rng: Optional[jax.Array] = None, deterministic: bool = True,
+            precision=None, taps: Optional[dict] = None):
+    """Full forward step.
+
+    upper (B, 5, levels, lat, lon), surface (B, 4, lat, lon), raw physical
+    units in; *normalised* prediction out (models/pangu_model.py:50-87).
+
+    ``taps``: pass a dict to collect per-stage activations (embed,
+    stage0..3, downsample, upsample) — the golden-activation hook used by
+    cli/parity_check.py to localise any divergence against a reference
+    activation dump.
+    """
+    cdt = jnp.dtype(cfg.compute_dtype)
+    upper = upper.astype(cdt)
+    surface = surface.astype(cdt)
+
+    x = L.patch_embed(params["patch_embed"], upper, surface, constants, cfg,
+                      precision)
+    if taps is not None:
+        taps["embed"] = x
+    x = shard_tokens(x)
+    x = forward_core(params, x, cfg, rng=rng, deterministic=deterministic,
+                     precision=precision, taps=taps)
     return L.patch_recovery(params["patch_recovery"], x, cfg, precision)
 
 

@@ -51,6 +51,7 @@ the whole residual branch, and pallas_call has no autodiff.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -60,10 +61,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pangu_tpu.ops.block_tail import tail_math
 
+# Tuning knobs (measured on v5e, see NOTES.md): how many longitude windows
+# ride the attention dot_general batch dim per fori_loop step, and whether
+# the loop is fully unrolled (TPU fori_loop only supports all-or-nothing).
+_CHUNK_TARGET = int(os.environ.get("PANGU_LON_CHUNK", "5"))
+_ATTN_UNROLL = os.environ.get("PANGU_ATTN_UNROLL", "0") == "1"
 
-def _lon_chunk(nlon: int, target: int = 5) -> int:
+
+def _lon_chunk(nlon: int, target: int | None = None) -> int:
     """Largest divisor of nlon that is <= target (lon windows batched per
     attention dot_general)."""
+    if target is None:
+        target = _CHUNK_TARGET
     for c in range(min(nlon, target), 0, -1):
         if nlon % c == 0:
             return c
@@ -160,7 +169,12 @@ def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
                        h * hd:(h + 1) * hd] = o.astype(dt)
             return carry
 
-        jax.lax.fori_loop(0, nlon // chunk, body, 0, unroll=False)
+        steps = nlon // chunk
+        if _ATTN_UNROLL and steps > 1:
+            for ll in range(steps):
+                body(ll, 0)
+        else:
+            jax.lax.fori_loop(0, steps, body, 0, unroll=False)
 
         # ---- ONE wide output projection --------------------------------
         a = jax.lax.dot_general(

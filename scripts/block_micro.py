@@ -3,6 +3,12 @@ v1 (block_noroll_fused, unrolled batched dot_general) vs v2
 (_block_v2_call, fori_loop) vs v2 with partial unroll. Chained calls
 (x = f(x)) so the backend cannot cache results."""
 
+import os as _os
+import sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
 import sys
 import time
 

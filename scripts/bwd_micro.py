@@ -1,6 +1,12 @@
 """Micro-bench: grid-attention backward — fused pallas bwd kernel vs the
 XLA partition composition — one stage-0 block, full geometry, chained."""
 
+import os as _os
+import sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
 import sys
 import time
 

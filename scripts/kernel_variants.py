@@ -9,6 +9,12 @@ written into a (nlon, n, C) scratch by lane slice; ONE wide proj matmul.
 Chained x = f(x) timing, full-res stage-0 geometry, bf16.
 """
 
+import os as _os
+import sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
 import sys
 import time
 

@@ -7,6 +7,12 @@ Times (within one process, per NOTES.md measurement rules):
 Each timed inside a 5-step donated rollout on fresh inputs.
 """
 
+import os as _os
+import sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
 import dataclasses
 import time
 

@@ -5,6 +5,12 @@ pallas no-remat, xla+remat, xla no-remat — chained via the evolving
 optimizer state (no result caching).
 """
 
+import os as _os
+import sys as _sys
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
 import dataclasses
 import sys
 import time
