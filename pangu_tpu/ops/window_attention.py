@@ -692,17 +692,18 @@ def _grid_attention_bwd_pallas(x, g, wqkv, bqkv, wp, bias, window):
 
 
 # Backward implementation for the grid-layout attention custom_vjp:
+#   "pallas" — the one-kernel fused grid bwd (_grid_attention_bwd_pallas)
 #   "xla"    — vjp through the partition composition (XLA transposes +
 #              the fused sdpa bwd kernel)
-#   "pallas" — the one-kernel fused grid bwd (_grid_attention_bwd_pallas)
-# In per-block A/B micro-benchmarks (with remat + weight grads) the pallas
-# bwd wins (stage-1 two-block chain: 39.6 vs 55.4 ms), but in the FULL
-# 16-block train step it regresses 1.39 s -> 3.39 s — some global
-# XLA-schedule/memory interaction not yet understood (NOTES.md). Default
-# stays "xla" until that is root-caused; flip via PANGU_GRID_BWD=pallas.
+# Interleaved same-process A/B on the full-size train step (v5e,
+# scripts/gbwd_ab.py): pallas 1183 ms vs xla 1464-1648 ms — the xla
+# composition burns ~330 ms extra in partition reshape/copy
+# (scripts/xplane.py trace breakdown). An earlier cross-process
+# measurement that suggested a pallas macro-regression (NOTES.md round-2
+# notes) did not reproduce under controlled conditions.
 import os as _os
 
-GRID_BWD_IMPL = _os.environ.get("PANGU_GRID_BWD", "xla")
+GRID_BWD_IMPL = _os.environ.get("PANGU_GRID_BWD", "pallas")
 
 
 @functools.lru_cache(maxsize=8)
