@@ -78,7 +78,9 @@ def main():
     params = pangu.init_params(jax.random.PRNGKey(0), cfg)
     constants = {k: jnp.asarray(v)
                  for k, v in synthetic_constants(cfg).items()}
-    roll = make_rollout(cfg, constants, STEPS)
+    # token-space chaining: recovery->embed fused between autoregressive
+    # steps (engine/transition.py) — 220 -> 171 ms/step on v5e
+    roll = make_rollout(cfg, constants, STEPS, token_space=True)
 
     def fresh(seed):
         r = np.random.default_rng(seed)

@@ -144,6 +144,37 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
                 return run_stage_fused_sharded(stage_params, x, geom, mesh,
                                                fast_math=cfg.fast_math)
 
+    if cfg.attn_impl == "pallas" and not deterministic:
+        from pangu_tpu.ops.earth_block_fused import (run_stage_train,
+                                                     stage_supports_fused)
+        from pangu_tpu.parallel.sharding import multi_device_mesh_active
+        if (stage_supports_fused(stage_params)
+                and not multi_device_mesh_active()):
+            # training: whole-block kernels as the primal, per-block
+            # custom_vjp remat backward; stochastic depth as per-sample
+            # branch scales, drawn with the SAME splits/keys as the XLA
+            # path below so losses match bit-for-bit across paths
+            B = x.shape[0]
+            drops = []
+            r = rng
+            for j in range(len(stage_params["blocks"])):
+                rate = rates[offset + j]
+                r1 = r2 = None
+                if r is not None:
+                    r, brng = jax.random.split(r)
+                    _, r1, _, r2 = tuple(jax.random.split(brng, 4))
+
+                def scale(rk, rate=rate):
+                    if rk is None or rate == 0.0:
+                        return jnp.ones((B,), jnp.float32)
+                    keep = 1.0 - rate
+                    m = jax.random.bernoulli(rk, keep, (B, 1, 1, 1, 1))
+                    return m.reshape(B).astype(jnp.float32) / keep
+
+                drops.append(jnp.stack([scale(r1), scale(r2)], axis=1))
+            return run_stage_train(stage_params, x, geom, drops,
+                                   fast_math=cfg.fast_math)
+
     for j, bp in enumerate(stage_params["blocks"]):
         brng = None
         if rng is not None:

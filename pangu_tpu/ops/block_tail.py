@@ -55,10 +55,18 @@ def _kernel_gelu(x, fast_math: bool):
         xf * jnp.float32(0.7071067811865476)))).astype(x.dtype)
 
 
-def tail_math(a, s, n1s, n1b, n2s, n2b, w1, b1, w2, b2, fast_math: bool):
+def tail_math(a, s, n1s, n1b, n2s, n2b, w1, b1, w2, b2, fast_math: bool,
+              s1=None, s2=None):
     """The block tail on plain (tokens, C) arrays (usable inside any
-    kernel): x1 = s + LN1(a); out = x1 + LN2(MLP(x1))."""
-    x1 = s + _kernel_ln(a, n1s, n1b, fast_math)
+    kernel): x1 = s + s1*LN1(a); out = x1 + s2*LN2(MLP(x1)).
+
+    ``s1``/``s2`` are optional stochastic-depth branch scales (scalar per
+    sample: drop mask / keep-prob, timm DropPath semantics — reference
+    models/layers.py:140,250-251); None means 1."""
+    b1_ = _kernel_ln(a, n1s, n1b, fast_math)
+    if s1 is not None:
+        b1_ = b1_ * s1.astype(b1_.dtype)
+    x1 = s + b1_
     h = jax.lax.dot_general(x1, w1, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = _kernel_gelu((h + b1[None].astype(jnp.float32)).astype(x1.dtype),
@@ -66,7 +74,10 @@ def tail_math(a, s, n1s, n1b, n2s, n2b, w1, b1, w2, b2, fast_math: bool):
     y = jax.lax.dot_general(h, w2, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y = (y + b2[None].astype(jnp.float32)).astype(x1.dtype)
-    return x1 + _kernel_ln(y, n2s, n2b, fast_math)
+    b2_ = _kernel_ln(y, n2s, n2b, fast_math)
+    if s2 is not None:
+        b2_ = b2_ * s2.astype(b2_.dtype)
+    return x1 + b2_
 
 
 def _make_tail_kernel(fast_math: bool):

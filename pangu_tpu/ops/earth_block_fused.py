@@ -81,7 +81,8 @@ def _lon_chunk(nlon: int, target: int | None = None) -> int:
 
 def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
                     h_real: int, hp: int, dw: int, canon_add: int,
-                    n_x_refs: int, has_mask: bool, fast_math: bool):
+                    n_x_refs: int, has_mask: bool, fast_math: bool,
+                    has_drop: bool = False):
     wz, wh, ww = window
     n = wz * wh * ww
     g = wh // 2
@@ -96,6 +97,10 @@ def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
         ids_ref = None
         if has_mask:
             ids_ref = refs[i]
+            i += 1
+        drop_ref = None
+        if has_drop:
+            drop_ref = refs[i]                       # (1, 2) SMEM scalars
             i += 1
         (n1s_ref, n1b_ref, n2s_ref, n2b_ref,
          w1_ref, b1_ref, w2_ref, b2_ref) = refs[i:i + 8]
@@ -183,9 +188,12 @@ def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
         a = (a + bp_ref[...][None].astype(jnp.float32)).astype(dt)
 
         # ---- block tail, token-local so valid in rolled coords ---------
+        s1 = s2 = None
+        if drop_ref is not None:
+            s1, s2 = drop_ref[0, 0], drop_ref[0, 1]
         y = tail_math(a, xf, n1s_ref[...], n1b_ref[...], n2s_ref[...],
                       n2b_ref[...], w1_ref[...], b1_ref[...], w2_ref[...],
-                      b2_ref[...], fast_math)
+                      b2_ref[...], fast_math, s1, s2)
 
         y = y.reshape(nlon, wz, wh, ww, c).transpose(1, 2, 0, 3, 4)
         o_ref[0] = y.reshape(wz, wh, nlon * ww, c).astype(o_ref.dtype)
@@ -195,13 +203,15 @@ def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
 
 def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
                    canon_add: int, mask: Optional[jax.Array],
-                   fast_math: bool):
+                   fast_math: bool, drop: Optional[jax.Array] = None):
     """One whole block on the storage tensor ``xs`` (B, Z, Hp, W, C).
 
     ``delta`` maps window rows to storage rows (window row r of window
     (zz, hh) reads storage row (wz*zz + r + dz) mod Z etc.); ``canon_add``
     is the lat offset from window coords to canonical (padded) coords,
-    used for zero-pad synthesis.
+    used for zero-pad synthesis. ``drop`` is an optional (B, 2) fp32 array
+    of stochastic-depth branch scales (attention branch, MLP branch) per
+    sample — SMEM scalars in the kernel.
     """
     b, z, hp, w, c = xs.shape
     wz, wh, ww = geom.window
@@ -259,6 +269,11 @@ def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
         in_specs.append(pl.BlockSpec(
             (1, 1, n), lambda bb, zz, hh: (zz * nlat + hh, 0, 0),
             memory_space=pltpu.VMEM))
+    if drop is not None:
+        operands.append(drop.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec(
+            (1, 2), lambda bb, zz, hh: (bb, 0),
+            memory_space=pltpu.SMEM))
 
     tail = [p["norm1"]["scale"].astype(dt), p["norm1"]["bias"].astype(dt),
             p["norm2"]["scale"].astype(dt), p["norm2"]["bias"].astype(dt),
@@ -282,7 +297,7 @@ def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
     return pl.pallas_call(
         _make_v2_kernel(heads, hd, geom.window, nlon, c, geom.h, hp, dw,
                         canon_add, len(x_specs), mask is not None,
-                        fast_math),
+                        fast_math, drop is not None),
         out_shape=jax.ShapeDtypeStruct(xs.shape, dt),
         grid=(b, z // wz, nlat),
         in_specs=in_specs,
@@ -302,6 +317,112 @@ def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
 def _has_lora(p) -> bool:
     return ("lora_a" in p["attn"]["qkv"] or "lora_a" in p["attn"]["proj"]
             or "lora_a" in p["mlp"]["fc1"] or "lora_a" in p["mlp"]["fc2"])
+
+
+# ---------------------------------------------------------------------------
+# Training path: whole-block kernels as the primal forward, per-block
+# custom_vjp backward (rematerialising) through the fused grid-attention
+# custom_vjp (pallas fwd + pallas bwd) + the XLA tail — no pad/partition
+# copies anywhere. Stochastic depth rides as per-sample branch scales.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _block_v2_train_core(geom, delta: Tuple[int, int, int], canon_add: int,
+                         fast_math: bool):
+    """custom_vjp for one whole block on the rolled-coordinate storage
+    tensor: forward = the v2 kernel (_block_v2_call), backward = vjp of
+    the equivalent XLA/grid composition (recompute-in-backward, i.e. the
+    same memory profile as jax.checkpoint per block)."""
+    from pangu_tpu.models import layers as L
+    from pangu_tpu.ops.window_attention import _grid_core
+
+    wz, wh, ww = geom.window
+    dz, dh, dw = delta
+    hp, h_real = geom.h_padded, geom.h
+    heads = geom.heads
+    window = tuple(geom.window)
+
+    def ref(bp, xs, drop, ids):
+        x = xs
+        if dz or dh or dw:
+            # window coords read storage rows offset by delta (the v2
+            # kernel does this via BlockSpec index maps / in-VMEM rotate)
+            x = jnp.roll(x, (-dz, -dh, -dw), axis=(1, 2, 3))
+        if h_real < hp:
+            # zero-synthesised pad rows (reference layers.py:192)
+            lat = (jnp.arange(hp) + canon_add) % hp
+            keep = (lat < h_real)[None, None, :, None, None]
+            x = jnp.where(keep, x, jnp.zeros_like(x))
+        bias = bp["attn"]["bias_table"].astype(jnp.float32)
+        if ids is not None:
+            m = jnp.where(ids[:, None, :] != ids[:, :, None],
+                          jnp.float32(-100.0), jnp.float32(0.0))
+            bias = bias + m[:, None]
+        a = _grid_core(heads, window)(
+            x, bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
+            bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"], bias)
+        s1 = s2 = None
+        if drop is not None:
+            s1 = drop[:, 0].reshape(-1, 1, 1, 1, 1).astype(x.dtype)
+            s2 = drop[:, 1].reshape(-1, 1, 1, 1, 1).astype(x.dtype)
+        br1 = L.layer_norm(bp["norm1"], a, fast=fast_math)
+        x1 = x + (br1 if s1 is None else br1 * s1)
+        c = x.shape[-1]
+        dt = x.dtype
+        h = jax.nn.gelu(
+            jnp.dot(x1.reshape(-1, c), bp["mlp"]["fc1"]["kernel"].astype(dt))
+            + bp["mlp"]["fc1"]["bias"].astype(dt), approximate=fast_math)
+        y = (jnp.dot(h, bp["mlp"]["fc2"]["kernel"].astype(dt))
+             + bp["mlp"]["fc2"]["bias"].astype(dt)).reshape(x1.shape)
+        br2 = L.layer_norm(bp["norm2"], y, fast=fast_math)
+        return x1 + (br2 if s2 is None else br2 * s2)
+
+    @jax.custom_vjp
+    def fused(bp, xs, drop, ids):
+        return _block_v2_call(bp, xs, geom, delta, canon_add, ids,
+                              fast_math, drop=drop)
+
+    def fwd(bp, xs, drop, ids):
+        return fused(bp, xs, drop, ids), (bp, xs, drop, ids)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def run_stage_train(stage_params, x, geom, drops, *, fast_math: bool = False):
+    """Training forward of one EarthSpecificLayer through the whole-block
+    kernels (same rolled-coordinate storage trick as run_stage_fused),
+    differentiable via per-block custom_vjp rematerialisation.
+
+    ``drops``: per-block (B, 2) fp32 stochastic-depth branch scales
+    (attention, MLP) — precomputed by the caller so the RNG stream matches
+    the XLA path exactly; pass None entries for rate-0 blocks."""
+    wz, wh, ww = geom.window
+    B, Z, H, W, C = x.shape
+    hp = geom.h_padded
+    xs = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
+    half = (wz // 2, wh // 2, ww // 2)
+    off = (0, 0, 0)
+    mask = None
+
+    for j, bp in enumerate(stage_params["blocks"]):
+        shifted = (j % 2 == 1)
+        target = half if shifted else (0, 0, 0)
+        delta = tuple(t - o for t, o in zip(target, off))
+        if shifted and mask is None:
+            from pangu_tpu.models.layers import window_region_ids
+            mask = jnp.asarray(window_region_ids(Z, hp, geom.window))
+        core = _block_v2_train_core(geom, delta, target[1], fast_math)
+        xs = core(bp, xs, drops[j], mask if shifted else None)
+        off = target
+
+    if off != (0, 0, 0):
+        xs = jnp.roll(xs, off, axis=(1, 2, 3))
+    return xs[:, :, :H]
 
 
 def _lon_shift(xs, dw: int, sp_axis: Optional[str], sp_size: int):

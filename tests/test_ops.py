@@ -345,3 +345,102 @@ def test_run_stage_fused_matches_xla(stage_idx, depth):
         got = run_stage_fused(stage_params, x, geom)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("stage_idx,depth", [(0, 2), (1, 4)])
+def test_run_stage_train_matches_xla_with_drop_scales(stage_idx, depth):
+    """Training-path whole-block kernels (run_stage_train): value AND
+    gradients must match the XLA composition with the same per-sample
+    stochastic-depth branch scales."""
+    from pangu_tpu.config import TINY
+    from pangu_tpu.models import pangu
+    from pangu_tpu.ops.earth_block_fused import run_stage_train
+
+    cfg = TINY
+    geom = cfg.stage(stage_idx)
+    params = pangu.init_params(jax.random.PRNGKey(stage_idx), cfg)
+    blocks = params["stages"][stage_idx]["blocks"]
+    stage_params = {"blocks": (blocks * 2)[:depth]}
+    B = 2
+    # non-trivial scales incl. a fully-dropped branch and a rescale
+    drops = [jnp.asarray(RNG.choice([0.0, 0.8, 1.25], size=(B, 2))
+                         .astype(np.float32)) for _ in range(depth)]
+
+    x = jnp.asarray(RNG.normal(
+        size=(B, geom.z, geom.h, geom.w, geom.dim)).astype(np.float32))
+
+    def ref_chain(sp, xx):
+        y = xx
+        for j, bp in enumerate(sp["blocks"]):
+            roll = j % 2 == 1
+            s1 = drops[j][:, 0].reshape(B, 1, 1, 1, 1)
+            s2 = drops[j][:, 1].reshape(B, 1, 1, 1, 1)
+            shortcut = y
+            hp = geom.h_padded
+            xp = jnp.pad(y, ((0, 0), (0, 0), (0, hp - geom.h),
+                             (0, 0), (0, 0)))
+            mask = None
+            if roll:
+                xp = jnp.roll(xp, (-1, -3, -6), axis=(1, 2, 3))
+                ids = jnp.asarray(L.window_region_ids(geom.z, hp,
+                                                      geom.window))
+                mask = jnp.where(ids[:, None, :] != ids[:, :, None],
+                                 jnp.float32(-100.0), jnp.float32(0.0))
+            win = L.window_partition(xp, geom.window)
+            win = L.earth_attention(bp["attn"], win, geom.heads, mask)
+            xp = L.window_reverse(win, geom.window, geom.z, hp, geom.w)
+            if roll:
+                xp = jnp.roll(xp, (1, 3, 6), axis=(1, 2, 3))
+            y2 = xp[:, :, :geom.h]
+            y = shortcut + s1 * L.layer_norm(bp["norm1"], y2)
+            y = y + s2 * L.layer_norm(bp["norm2"], L.mlp(bp["mlp"], y))
+        return y
+
+    def loss_fused(sp, xx):
+        return jnp.sum(run_stage_train(sp, xx, geom, drops) ** 2)
+
+    def loss_ref(sp, xx):
+        return jnp.sum(ref_chain(sp, xx) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        vf, gf = jax.value_and_grad(loss_fused, argnums=(0, 1))(
+            stage_params, x)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1))(stage_params, x)
+
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_r = jax.tree.leaves(gr)
+    assert len(flat_f) == len(flat_r)
+    for (path, a), b in zip(flat_f, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_forward_train_rng_parity_pallas_vs_xla():
+    """pangu.forward in training mode: the fused-kernel path must consume
+    the SAME drop-path RNG stream as the XLA path (identical outputs)."""
+    import dataclasses
+    from pangu_tpu.config import TINY
+    from pangu_tpu.data.constants import synthetic_constants
+    from pangu_tpu.models import pangu
+
+    consts = {k: jnp.asarray(v) for k, v in synthetic_constants(TINY).items()}
+    params = pangu.init_params(jax.random.PRNGKey(3), TINY)
+    u = jnp.asarray(RNG.normal(size=(2, 5, TINY.levels, TINY.lat, TINY.lon)
+                               ).astype(np.float32))
+    s = jnp.asarray(RNG.normal(size=(2, 4, TINY.lat, TINY.lon)
+                               ).astype(np.float32))
+    key = jax.random.PRNGKey(9)
+
+    cfg_x = dataclasses.replace(TINY, attn_impl="xla")
+    cfg_p = dataclasses.replace(TINY, attn_impl="pallas")
+    wu, ws = pangu.forward(params, u, s, consts, cfg_x, rng=key,
+                           deterministic=False)
+    with pltpu.force_tpu_interpret_mode():
+        gu, gs = pangu.forward(params, u, s, consts, cfg_p, rng=key,
+                               deterministic=False)
+    np.testing.assert_allclose(np.asarray(gu), np.asarray(wu), atol=2e-4,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), atol=2e-4,
+                               rtol=1e-4)
