@@ -24,6 +24,13 @@ from pangu_tpu.config import ModelConfig
 from pangu_tpu.models import layers as L
 from pangu_tpu.parallel.sharding import shard_tokens
 
+# Training-path kernel toggle (A/B harness: scripts/train_fused_ab.py).
+# When on, the training forward runs through the whole-block kernels with
+# a per-block custom_vjp remat backward (ops/earth_block_fused.py).
+import os as _os
+
+TRAIN_FUSED = _os.environ.get("PANGU_TRAIN_FUSED", "1") == "1"
+
 
 # ---------------------------------------------------------------------------
 # Parameter initialisation
@@ -144,7 +151,7 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
                 return run_stage_fused_sharded(stage_params, x, geom, mesh,
                                                fast_math=cfg.fast_math)
 
-    if cfg.attn_impl == "pallas" and not deterministic:
+    if cfg.attn_impl == "pallas" and not deterministic and TRAIN_FUSED:
         from pangu_tpu.ops.earth_block_fused import (run_stage_train,
                                                      stage_supports_fused)
         from pangu_tpu.parallel.sharding import multi_device_mesh_active
