@@ -344,8 +344,8 @@ def earth_block(p, x, geom: StageGeometry, roll: bool, *,
                     return yb[:, :, :H]
             # otherwise: fused grid attention, partition inside the kernel
             from pangu_tpu.ops.window_attention import window_attention_grid
-            y = window_attention_grid(p["attn"], xp, geom.heads, mask,
-                                      geom.window)
+            y = window_attention_grid(p["attn"], xp, geom.heads,
+                                      (Z, hp) if roll else None, geom.window)
     if y is not None:
         xp = y
     else:

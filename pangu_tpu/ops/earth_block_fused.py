@@ -328,11 +328,13 @@ def _has_lora(p) -> bool:
 
 @functools.lru_cache(maxsize=64)
 def _block_v2_train_core(geom, delta: Tuple[int, int, int], canon_add: int,
-                         fast_math: bool):
+                         has_mask: bool, fast_math: bool):
     """custom_vjp for one whole block on the rolled-coordinate storage
     tensor: forward = the v2 kernel (_block_v2_call), backward = vjp of
     the equivalent XLA/grid composition (recompute-in-backward, i.e. the
-    same memory profile as jax.checkpoint per block)."""
+    same memory profile as jax.checkpoint per block). The shifted-window
+    region-id table is a closed-over trace-time constant (~70 KB) — the
+    fp32 bias+mask tensor never materialises."""
     from pangu_tpu.models import layers as L
     from pangu_tpu.ops.window_attention import _grid_core
 
@@ -341,8 +343,13 @@ def _block_v2_train_core(geom, delta: Tuple[int, int, int], canon_add: int,
     hp, h_real = geom.h_padded, geom.h
     heads = geom.heads
     window = tuple(geom.window)
+    ids_np = None
+    if has_mask:
+        ids_np = L.window_region_ids(geom.z, hp, window)
+    attn_core = _grid_core(heads, window,
+                           (geom.z, hp) if has_mask else None)
 
-    def ref(bp, xs, drop, ids):
+    def ref(bp, xs, drop):
         x = xs
         if dz or dh or dw:
             # window coords read storage rows offset by delta (the v2
@@ -353,14 +360,10 @@ def _block_v2_train_core(geom, delta: Tuple[int, int, int], canon_add: int,
             lat = (jnp.arange(hp) + canon_add) % hp
             keep = (lat < h_real)[None, None, :, None, None]
             x = jnp.where(keep, x, jnp.zeros_like(x))
-        bias = bp["attn"]["bias_table"].astype(jnp.float32)
-        if ids is not None:
-            m = jnp.where(ids[:, None, :] != ids[:, :, None],
-                          jnp.float32(-100.0), jnp.float32(0.0))
-            bias = bias + m[:, None]
-        a = _grid_core(heads, window)(
+        a = attn_core(
             x, bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
-            bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"], bias)
+            bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
+            bp["attn"]["bias_table"])
         s1 = s2 = None
         if drop is not None:
             s1 = drop[:, 0].reshape(-1, 1, 1, 1, 1).astype(x.dtype)
@@ -378,14 +381,20 @@ def _block_v2_train_core(geom, delta: Tuple[int, int, int], canon_add: int,
         return x1 + (br2 if s2 is None else br2 * s2)
 
     @jax.custom_vjp
-    def fused(bp, xs, drop, ids):
+    def fused(bp, xs, drop):
+        ids = None if ids_np is None else jnp.asarray(ids_np)
         return _block_v2_call(bp, xs, geom, delta, canon_add, ids,
                               fast_math, drop=drop)
 
-    def fwd(bp, xs, drop, ids):
-        return fused(bp, xs, drop, ids), (bp, xs, drop, ids)
+    def fwd(bp, xs, drop):
+        return fused(bp, xs, drop), (bp, xs, drop)
 
     def bwd(res, g):
+        # Tie the residuals to the cotangent so the scheduler cannot
+        # hoist the rematerialisation into the forward pass (it depends
+        # only on residuals otherwise — jax.checkpoint plants the same
+        # barrier; without it peak HBM grows by ~2 GiB at full size).
+        res, g = jax.lax.optimization_barrier((res, g))
         _, vjp = jax.vjp(ref, *res)
         return vjp(g)
 
@@ -407,17 +416,14 @@ def run_stage_train(stage_params, x, geom, drops, *, fast_math: bool = False):
     xs = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
     half = (wz // 2, wh // 2, ww // 2)
     off = (0, 0, 0)
-    mask = None
 
     for j, bp in enumerate(stage_params["blocks"]):
         shifted = (j % 2 == 1)
         target = half if shifted else (0, 0, 0)
         delta = tuple(t - o for t, o in zip(target, off))
-        if shifted and mask is None:
-            from pangu_tpu.models.layers import window_region_ids
-            mask = jnp.asarray(window_region_ids(Z, hp, geom.window))
-        core = _block_v2_train_core(geom, delta, target[1], fast_math)
-        xs = core(bp, xs, drops[j], mask if shifted else None)
+        core = _block_v2_train_core(geom, delta, target[1], shifted,
+                                    fast_math)
+        xs = core(bp, xs, drops[j])
         off = target
 
     if off != (0, 0, 0):

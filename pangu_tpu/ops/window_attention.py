@@ -355,6 +355,8 @@ def _fused_core(heads: int):
         return y, (x2, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias)
 
     def bwd(res, g):
+        # anti-hoist barrier: see _block_v2_train_core.bwd
+        res, g = jax.lax.optimization_barrier((res, g))
         _, vjp = jax.vjp(ref, *res)
         return vjp(g)
 
@@ -379,20 +381,29 @@ def _lon_chunk(nlon: int, target: int = 5) -> int:
 
 
 def _make_grid_kernel(heads: int, hd: int, wz: int, wh: int, ww: int,
-                      nlon: int, c: int):
+                      nlon: int, c: int, has_mask: bool = False):
     """Grid-layout fused attention with WIDE projections: one (C, 3C) qkv
     matmul and one (C, C) output matmul keep the MXU lanes full (the
     per-head (C, hd=32) formulation runs at 25% lane occupancy — measured
     1.7x slower end to end on v5e). Per-head q/k/v tiles come from
     lane-offset REF slices of the qkv scratch (lane-splitting reshapes are
     Mosaic-unsupported); a few lon windows ride the single allowed
-    dot_general batch dim per fori_loop step."""
+    dot_general batch dim per fori_loop step.
+
+    The earth-specific bias operand arrives in its NATIVE dtype and is
+    upcast per-tile; the shifted-window mask (when ``has_mask``) is
+    rebuilt in-kernel from per-token region ids — the fp32
+    ``bias_table + mask`` tensor (60+ MB per block) never exists in HBM."""
     scale = hd ** -0.5
     n = wz * wh * ww
     chunk = _lon_chunk(nlon)
 
-    def kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, b_ref, o_ref,
-               qkv_s, attn_s):
+    def kernel(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref, b_ref, *rest):
+        if has_mask:
+            ids_ref, o_ref, qkv_s, attn_s = rest
+        else:
+            o_ref, qkv_s, attn_s = rest
+            ids_ref = None
         x = x_ref[0]                                # (wz, wh, nlon*ww, C)
         x = x.reshape(wz, wh, nlon, ww, c)
         x = x.transpose(2, 0, 1, 3, 4)              # (nlon, wz, wh, ww, C)
@@ -406,6 +417,10 @@ def _make_grid_kernel(heads: int, hd: int, wz: int, wh: int, ww: int,
         qkv_s[...] = qkv.astype(dt).reshape(nlon, n, 3 * c)
 
         bias = b_ref[0].astype(jnp.float32)         # (heads, n, n)
+        if ids_ref is not None:
+            r = ids_ref[...][0]                     # (1, n) int32
+            bias = bias + jnp.where(r[0][None, :] != r[0][:, None],
+                                    jnp.float32(-100.0), jnp.float32(0.0))
 
         def body(ll, carry):
             lo = ll * chunk
@@ -459,8 +474,10 @@ def _grid_kernel_specs(x, heads, window):
     return spec_x, spec_b, fullspec
 
 
-def _grid_attention_pallas(x, wqkv, bqkv, wp, bp, bias, window):
-    """x: (B, Z, Hp, W, C) padded/rolled token grid. Returns same shape."""
+def _grid_attention_pallas(x, wqkv, bqkv, wp, bp, bias, window, ids=None):
+    """x: (B, Z, Hp, W, C) padded/rolled token grid. Returns same shape.
+    ``bias`` rides in its native dtype; ``ids`` (ntype, N) int32 region
+    ids trigger the in-kernel shifted-window mask."""
     b, z, hp, w, c = x.shape
     wz, wh, ww = window
     heads = bias.shape[1]
@@ -470,12 +487,21 @@ def _grid_attention_pallas(x, wqkv, bqkv, wp, bp, bias, window):
     n = wz * wh * ww
     spec_x, spec_b, fullspec = _grid_kernel_specs(x, heads, window)
 
+    operands = [x, wqkv, bqkv, wp, bp, bias]
+    in_specs = [spec_x, fullspec(wqkv.shape), fullspec(bqkv.shape),
+                fullspec(wp.shape), fullspec(bp.shape), spec_b]
+    if ids is not None:
+        operands.append(ids.reshape(ids.shape[0], 1, n))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, n), lambda bb, zz, hh: (zz * nlat + hh, 0, 0),
+            memory_space=pltpu.VMEM))
+
     return pl.pallas_call(
-        _make_grid_kernel(heads, hd, wz, wh, ww, nlon, c),
+        _make_grid_kernel(heads, hd, wz, wh, ww, nlon, c,
+                          has_mask=ids is not None),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(b, z // wz, nlat),
-        in_specs=[spec_x, fullspec(wqkv.shape), fullspec(bqkv.shape),
-                  fullspec(wp.shape), fullspec(bp.shape), spec_b],
+        in_specs=in_specs,
         out_specs=spec_x,
         scratch_shapes=[pltpu.VMEM((nlon, n, 3 * c), x.dtype),
                         pltpu.VMEM((nlon, n, c), x.dtype)],
@@ -484,25 +510,32 @@ def _grid_attention_pallas(x, wqkv, bqkv, wp, bp, bias, window):
             vmem_limit_bytes=128 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * z * hp * w // n * n * c * (4 * c + 2 * n),
-            bytes_accessed=2 * x.size * x.dtype.itemsize + bias.size * 4,
+            bytes_accessed=2 * x.size * x.dtype.itemsize
+            + bias.size * bias.dtype.itemsize,
             transcendentals=b * (z // wz) * nlat * nlon * heads * n * n),
-    )(x, wqkv, bqkv, wp, bp, bias)
+    )(*operands)
 
 
 def _make_grid_bwd_kernel(heads: int, hd: int, wz: int, wh: int, ww: int,
-                          nlon: int, c: int):
+                          nlon: int, c: int, has_mask: bool = False):
     """Fused backward of the grid-layout attention: recompute qkv +
     softmax in VMEM, then dX / dWqkv / dbqkv / dWp / dbp / dbias — all in
     ONE kernel on the (B, Z, Hp, W, C) grid. No window partition/reverse
     transposes anywhere; weight gradients accumulate into resident fp32
-    output blocks across the (serialised) grid."""
+    output blocks across the (serialised) grid. Bias rides native-dtype;
+    the shifted-window mask is rebuilt from region ids in-kernel."""
     scale = hd ** -0.5
     n = wz * wh * ww
     chunk = _lon_chunk(nlon)
 
-    def kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wp_ref, b_ref,
-               dx_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref, db_ref,
-               qkv_s, attn_s, da_s, dqkv_s):
+    def kernel(x_ref, g_ref, wqkv_ref, bqkv_ref, wp_ref, b_ref, *rest):
+        if has_mask:
+            (ids_ref, dx_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref,
+             db_ref, qkv_s, attn_s, da_s, dqkv_s) = rest
+        else:
+            (dx_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref,
+             db_ref, qkv_s, attn_s, da_s, dqkv_s) = rest
+            ids_ref = None
         first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
                  & (pl.program_id(2) == 0))
 
@@ -533,6 +566,10 @@ def _make_grid_bwd_kernel(heads: int, hd: int, wz: int, wh: int, ww: int,
         qkv_s[...] = qkv.astype(dt).reshape(nlon, n, 3 * c)
 
         bias = b_ref[0].astype(jnp.float32)
+        if ids_ref is not None:
+            r = ids_ref[...][0]
+            bias = bias + jnp.where(r[0][None, :] != r[0][:, None],
+                                    jnp.float32(-100.0), jnp.float32(0.0))
 
         def fwd_body(ll, carry):
             lo = ll * chunk
@@ -636,7 +673,7 @@ def _make_grid_bwd_kernel(heads: int, hd: int, wz: int, wh: int, ww: int,
     return kernel
 
 
-def _grid_attention_bwd_pallas(x, g, wqkv, bqkv, wp, bias, window):
+def _grid_attention_bwd_pallas(x, g, wqkv, bqkv, wp, bias, window, ids=None):
     """Returns (dx, dwqkv, dbqkv, dwp, dbp, dbias) — fp32 weight grads.
 
     Grid order is (z-windows, lat-windows, batch) with batch INNERMOST so
@@ -673,12 +710,21 @@ def _grid_attention_bwd_pallas(x, g, wqkv, bqkv, wp, bias, window):
     out_specs = (spec_x, resident((c, 3 * c)), resident((1, 3 * c)),
                  resident((c, c)), resident((1, c)), spec_b)
 
+    operands = [x, g, wqkv, bqkv, wp, bias]
+    in_specs = [spec_x, spec_x, resident(wqkv.shape),
+                resident(bqkv.shape), resident(wp.shape), spec_b]
+    if ids is not None:
+        operands.append(ids.reshape(ntype, 1, n))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, n), lambda zz, hh, bb: (zz * nlat + hh, 0, 0),
+            memory_space=pltpu.VMEM))
+
     return pl.pallas_call(
-        _make_grid_bwd_kernel(heads, hd, wz, wh, ww, nlon, c),
+        _make_grid_bwd_kernel(heads, hd, wz, wh, ww, nlon, c,
+                              has_mask=ids is not None),
         out_shape=out_shapes,
         grid=(z // wz, nlat, b),
-        in_specs=[spec_x, spec_x, resident(wqkv.shape),
-                  resident(bqkv.shape), resident(wp.shape), spec_b],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((nlon, n, 3 * c), x.dtype),
                         pltpu.VMEM((nlon, n, c), x.dtype),
@@ -688,7 +734,7 @@ def _grid_attention_bwd_pallas(x, g, wqkv, bqkv, wp, bias, window):
             # weight grads accumulate across programs -> fully serialised
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=128 * 1024 * 1024),
-    )(x, g, wqkv, bqkv, wp, bias)
+    )(*operands)
 
 
 # Backward implementation for the grid-layout attention custom_vjp:
@@ -706,10 +752,32 @@ import os as _os
 GRID_BWD_IMPL = _os.environ.get("PANGU_GRID_BWD", "pallas")
 
 
-@functools.lru_cache(maxsize=8)
-def _grid_core(heads: int, window):
-    """custom_vjp: grid-layout fused forward; backward per GRID_BWD_IMPL."""
+@functools.lru_cache(maxsize=32)
+def _grid_core(heads: int, window, mask_zh=None):
+    """custom_vjp: grid-layout fused forward; backward per GRID_BWD_IMPL.
+
+    ``bias`` is the earth-specific bias table in its NATIVE dtype; when
+    ``mask_zh=(z, hp)`` the shifted-window mask is folded in from the
+    per-token region-id table (a trace-time constant, ~70 KB) inside the
+    kernels — the fp32 ``bias + mask`` tensor never materialises in HBM
+    (it alone was ~1 GB live across a 16-block backward)."""
     wz, wh, ww = window
+    ids_np = None
+    if mask_zh is not None:
+        from pangu_tpu.models.layers import window_region_ids
+        ids_np = window_region_ids(mask_zh[0], mask_zh[1], window)
+
+    def _ids():
+        return None if ids_np is None else jnp.asarray(ids_np)
+
+    def full_bias(bias):
+        b32 = bias.astype(jnp.float32)
+        if ids_np is not None:
+            ids = _ids()
+            b32 = b32 + jnp.where(ids[:, None, :] != ids[:, :, None],
+                                  jnp.float32(-100.0),
+                                  jnp.float32(0.0))[:, None]
+        return b32
 
     def ref(xg, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias):
         from pangu_tpu.models.layers import window_partition, window_reverse
@@ -722,7 +790,7 @@ def _grid_core(heads: int, window):
             b * nlon, ntype, n, 3 * c) + qkv_bias
         qkv = qkv.reshape(b * nlon, ntype, n, 3, heads, hd)
         qkv = qkv.transpose(0, 1, 3, 4, 5, 2)
-        out = _sdpa(qkv, bias)
+        out = _sdpa(qkv, full_bias(bias))
         out = out.transpose(0, 1, 4, 2, 3).reshape(b * nlon, ntype, n, c)
         out = (jnp.dot(out.reshape(-1, c), proj_kernel).reshape(
             b, nlon, ntype, n, c) + proj_bias)
@@ -737,20 +805,22 @@ def _grid_core(heads: int, window):
         return _grid_attention_pallas(xg, qkv_kernel.astype(dt),
                                       qkv_bias.astype(dt),
                                       proj_kernel.astype(dt),
-                                      proj_bias.astype(dt), bias, window)
+                                      proj_bias.astype(dt), bias, window,
+                                      ids=_ids())
 
     def fwd(*args):
         return _run(*args), args
 
     def bwd(res, g):
         if GRID_BWD_IMPL != "pallas":
+            res, g = jax.lax.optimization_barrier((res, g))
             _, vjp = jax.vjp(ref, *res)
             return vjp(g)
         xg, qkv_kernel, qkv_bias, proj_kernel, proj_bias, bias = res
         dt = xg.dtype
         dx, dwqkv, dbqkv, dwp, dbp, dbias = _grid_attention_bwd_pallas(
             xg, g.astype(dt), qkv_kernel.astype(dt), qkv_bias.astype(dt),
-            proj_kernel.astype(dt), bias, window)
+            proj_kernel.astype(dt), bias, window, ids=_ids())
         return (dx, dwqkv.astype(qkv_kernel.dtype),
                 dbqkv[0].astype(qkv_bias.dtype),
                 dwp.astype(proj_kernel.dtype),
@@ -865,6 +935,8 @@ def _block_core(heads: int, window, fast_math: bool):
         return _run(*args), args
 
     def bwd(res, g):
+        # anti-hoist barrier: see _block_v2_train_core.bwd
+        res, g = jax.lax.optimization_barrier((res, g))
         _, vjp = jax.vjp(ref, *res)
         return vjp(g)
 
@@ -879,7 +951,7 @@ def block_noroll_fused(p, xg, heads: int, window,
     if ("lora_a" in p["attn"]["qkv"] or "lora_a" in p["attn"]["proj"]
             or "lora_a" in p["mlp"]["fc1"] or "lora_a" in p["mlp"]["fc2"]):
         return None
-    bias = p["attn"]["bias_table"].astype(jnp.float32)
+    bias = p["attn"]["bias_table"]          # native dtype; cast per-tile
     return _block_core(heads, tuple(window), fast_math)(
         xg, p["attn"]["qkv"]["kernel"], p["attn"]["qkv"]["bias"],
         p["attn"]["proj"]["kernel"], p["attn"]["proj"]["bias"], bias,
@@ -889,19 +961,17 @@ def block_noroll_fused(p, xg, heads: int, window,
         p["mlp"]["fc2"]["kernel"], p["mlp"]["fc2"]["bias"])
 
 
-def window_attention_grid(p, xg, heads: int, mask: Optional[jax.Array],
-                          window) -> jax.Array:
+def window_attention_grid(p, xg, heads: int, mask_zh, window) -> jax.Array:
     """Fused attention on the padded/rolled (B, Z, Hp, W, C) token grid —
-    window partition happens inside the kernel. Falls back to None when
-    LoRA leaves are present (caller should use the XLA path)."""
+    window partition happens inside the kernel. ``mask_zh=(z, hp)``
+    activates the shifted-window mask (rebuilt in-kernel from region
+    ids). Falls back to None when LoRA leaves are present (caller should
+    use the XLA path)."""
     if "lora_a" in p["qkv"] or "lora_a" in p["proj"]:
         return None
-    bias = p["bias_table"].astype(jnp.float32)
-    if mask is not None:
-        bias = bias + mask[:, None]
-    return _grid_core(heads, tuple(window))(
+    return _grid_core(heads, tuple(window), mask_zh)(
         xg, p["qkv"]["kernel"], p["qkv"]["bias"],
-        p["proj"]["kernel"], p["proj"]["bias"], bias)
+        p["proj"]["kernel"], p["proj"]["bias"], p["bias_table"])
 
 
 def window_attention_pallas(p, x, heads: int, mask: Optional[jax.Array]):

@@ -40,10 +40,14 @@ def main():
     batch["target_upper"] = batch["upper"]
     batch["target_surface"] = batch["surface"]
     tx = T.make_optimizer(tcfg, steps_per_epoch=100)
+    # base params live on HOST; each variant device_puts a fresh copy —
+    # keeping them on device costs 0.6 GiB of the already-tight HBM
+    params = jax.tree.map(lambda a: np.asarray(a), params)
 
     for fused in [True, False, True, False]:
         PM.TRAIN_FUSED = fused
-        state = T.create_train_state(jax.tree.map(jnp.copy, params), tx)
+        state = T.create_train_state(
+            jax.tree.map(jnp.asarray, params), tx)
         step = T.make_train_step(base, tcfg, constants, tx, donate=True)
         key = jax.random.PRNGKey(1)
         t0 = time.perf_counter()

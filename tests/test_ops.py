@@ -188,7 +188,7 @@ def test_grid_attention_matches_partitioned():
     want = L.window_reverse(L.earth_attention(p, win, heads, mask),
                             window, Z, Hp, Wd)
     with pltpu.force_tpu_interpret_mode():
-        got = W.window_attention_grid(p, xg, heads, mask, window)
+        got = W.window_attention_grid(p, xg, heads, (Z, Hp), window)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
@@ -224,9 +224,11 @@ def test_grid_attention_gradients():
         np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3), gg, gx)
 
 
-def test_grid_attention_pallas_bwd_kernel(monkeypatch):
+@pytest.mark.parametrize("masked", [False, True])
+def test_grid_attention_pallas_bwd_kernel(monkeypatch, masked):
     """The one-kernel fused grid backward (PANGU_GRID_BWD=pallas):
-    dX and every weight/bias gradient must match the XLA composition.
+    dX and every weight/bias gradient must match the XLA composition,
+    with and without the in-kernel shifted-window region-id mask.
     Covers B=2 so the resident accumulator blocks (dW*, per-type dbias)
     are revisited across the innermost batch grid dim."""
     B, Z, Hp, Wd, C, heads = 2, 2, 6, 24, 8, 2
@@ -245,7 +247,7 @@ def test_grid_attention_pallas_bwd_kernel(monkeypatch):
     def loss(impl, *a):
         monkeypatch.setattr(W, "GRID_BWD_IMPL", impl)
         W._grid_core.cache_clear()
-        core = W._grid_core(heads, window)
+        core = W._grid_core(heads, window, (Z, Hp) if masked else None)
         return lambda xg, *aa: jnp.sum(core(xg, *aa) ** 2)
 
     with pltpu.force_tpu_interpret_mode():
@@ -362,11 +364,12 @@ def test_run_stage_train_matches_xla_with_drop_scales(stage_idx, depth):
     blocks = params["stages"][stage_idx]["blocks"]
     stage_params = {"blocks": (blocks * 2)[:depth]}
     B = 2
+    rng = np.random.default_rng(41 + 10 * stage_idx + depth)  # order-proof
     # non-trivial scales incl. a fully-dropped branch and a rescale
-    drops = [jnp.asarray(RNG.choice([0.0, 0.8, 1.25], size=(B, 2))
+    drops = [jnp.asarray(rng.choice([0.0, 0.8, 1.25], size=(B, 2))
                          .astype(np.float32)) for _ in range(depth)]
 
-    x = jnp.asarray(RNG.normal(
+    x = jnp.asarray(rng.normal(
         size=(B, geom.z, geom.h, geom.w, geom.dim)).astype(np.float32))
 
     def ref_chain(sp, xx):
