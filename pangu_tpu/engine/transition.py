@@ -144,22 +144,34 @@ def build_transition(params, constants, cfg: ModelConfig) -> Dict:
 
 
 def apply_transition(tp: Dict, x_cat) -> jax.Array:
-    """(B, Z, H, W, 2C) pre-recovery features -> (B, Z, H, W, C) tokens
-    equal to ``patch_embed`` applied to the de-normalised, cropped forecast
-    (see module docstring)."""
-    B, Z, H, W, _ = x_cat.shape
+    """Pre-recovery features -> (B, Z, H, W, C) tokens equal to
+    ``patch_embed`` applied to the de-normalised, cropped forecast (see
+    module docstring). ``x_cat`` is either the concatenated
+    (B, Z, H, W, 2C) array or the (skip, decoder) pair from
+    ``forward_core`` — the pair form splits the composed matrices' input
+    rows instead of materialising the concat."""
+    parts = x_cat if isinstance(x_cat, tuple) else (x_cat,)
+    B, Z, H, W = parts[0].shape[:4]
     ZP = Z - 1
 
-    sf = x_cat[:, 0]                                  # (B, H, W, 2C)
-    sf = jnp.concatenate([_mm(sf[:, :H - 1], tp["M_s"]),
-                          _mm(sf[:, H - 1:], tp["M_sh"])], axis=1)
+    def mm(slicer, m):
+        off, y = 0, None
+        for part in parts:
+            c = part.shape[-1]
+            t = _mm(slicer(part), m[off:off + c])
+            y = t if y is None else y + t
+            off += c
+        return y
 
-    up = x_cat[:, 1:]                                 # (B, ZP, H, W, 2C)
-    body = _mm(up[:, :ZP - 1], tp["M_u"])
-    body_row = _mm(up[:, :ZP - 1, H - 1:], tp["M_uh"])
+    sf = jnp.concatenate([mm(lambda p: p[:, 0, :H - 1], tp["M_s"]),
+                          mm(lambda p: p[:, 0, H - 1:], tp["M_sh"])], axis=1)
+
+    # upper planes 1..ZP of the token grid (plane Z-1 is the top-z edge)
+    body = mm(lambda p: p[:, 1:ZP], tp["M_u"])
+    body_row = mm(lambda p: p[:, 1:ZP, H - 1:], tp["M_uh"])
     body = jnp.concatenate([body[:, :, :H - 1], body_row], axis=2)
-    top = _mm(up[:, ZP - 1:, :H - 1], tp["M_uz"])
-    top_row = _mm(up[:, ZP - 1:, H - 1:], tp["M_uzh"])
+    top = mm(lambda p: p[:, ZP:, :H - 1], tp["M_uz"])
+    top_row = mm(lambda p: p[:, ZP:, H - 1:], tp["M_uzh"])
     top = jnp.concatenate([top, top_row], axis=2)
     up = jnp.concatenate([body, top], axis=1)
 

@@ -415,27 +415,57 @@ def up_sample(p, x, out_h: int, precision=None, *, rng=None):
 # Patch recovery  (reference: PatchRecovery_pretrain, models/layers.py:501-545)
 # ---------------------------------------------------------------------------
 
+def dense_split_rows(pd, parts, precision=None):
+    """``dense`` over a feature-concatenated input given as separate
+    ``parts``, without materialising the concat: the kernel's input rows
+    are split to match (y = a @ K[:Ca] + b @ K[Ca:] + bias). Falls back to
+    an explicit concat when LoRA leaves are present."""
+    if "lora_a" in pd:
+        return dense(pd, jnp.concatenate(parts, axis=-1), precision)
+    lead = parts[0].shape[:-1]
+    off, y = 0, None
+    for part in parts:
+        c = part.shape[-1]
+        t = jnp.dot(part.reshape(-1, c),
+                    pd["kernel"][off:off + c].astype(part.dtype),
+                    precision=precision)
+        y = t if y is None else y + t
+        off += c
+    if "bias" in pd:
+        y = y + pd["bias"].astype(y.dtype)
+    return y.reshape(*lead, y.shape[-1])
+
+
 def patch_recovery(p, x, cfg: ModelConfig, precision=None):
     """Token grid (B, Z, H, W, 2C) -> normalised output fields.
+
+    ``x`` may be the concatenated (B, Z, H, W, 2C) features or a tuple of
+    parts (skip, decoder) — the tuple form skips the ~400 MB skip-concat
+    materialisation by splitting the kernels' input rows instead
+    (PanguModel concatenates before recovery, models/pangu_model.py:83-85;
+    mathematically identical).
 
     Returns (upper (B,5,levels,lat,lon), surface (B,4,lat,lon)); outputs stay
     in normalised space — de-normalisation is the caller's job, exactly as
     the reference (models/layers.py:531,542).
     """
-    B = x.shape[0]
+    parts = x if isinstance(x, tuple) else (x,)
+    B = parts[0].shape[0]
     pz, ph, pw = cfg.patch
     V, S = cfg.upper_vars, cfg.surface_vars
     ZP, HT, WT = cfg.upper_planes, cfg.h_tokens, cfg.w_tokens
 
     # upper: token planes 1..ZP; out features ordered (var, z_off, h_off, w_off)
     # to match the pretrained Conv1d out-channel layout (layers.py:522-524)
-    up = dense(p["upper"], x[:, 1:], precision)          # (B, ZP, HT, WT, V*pz*ph*pw)
+    up = dense_split_rows(p["upper"], tuple(q[:, 1:] for q in parts),
+                          precision)         # (B, ZP, HT, WT, V*pz*ph*pw)
     up = up.reshape(B, ZP, HT, WT, V, pz, ph, pw)
     up = up.transpose(0, 4, 1, 5, 2, 6, 3, 7)
     up = up.reshape(B, V, ZP * pz, HT * ph, WT * pw)
     up = up[:, :, :cfg.levels, :cfg.lat, :]
 
-    sf = dense(p["surface"], x[:, 0], precision)         # (B, HT, WT, S*ph*pw)
+    sf = dense_split_rows(p["surface"], tuple(q[:, 0] for q in parts),
+                          precision)         # (B, HT, WT, S*ph*pw)
     sf = sf.reshape(B, HT, WT, S, ph, pw)
     sf = sf.transpose(0, 3, 1, 4, 2, 5)
     sf = sf.reshape(B, S, HT * ph, WT * pw)

@@ -202,8 +202,11 @@ def forward_core(params, x, cfg: ModelConfig, *,
                  rng: Optional[jax.Array] = None, deterministic: bool = True,
                  precision=None, taps: Optional[dict] = None):
     """Encoder/decoder trunk on the embedded token grid: stages + down/up
-    sampling + skip concat. (B, Z, H, W, C) tokens in, (B, Z, H, W, 2C)
-    pre-recovery features out (models/pangu_model.py:56-84).
+    sampling. (B, Z, H, W, C) tokens in; returns the pre-recovery features
+    as the PAIR (skip, decoder_out) — each (B, Z, H, W, C) — rather than
+    their concat (models/pangu_model.py:56-84): patch_recovery and the
+    token-space transition split their kernels' input rows instead, which
+    skips a ~400 MB concat materialisation per step.
 
     Exposed separately from :func:`forward` so the token-space rollout
     (engine/transition.py) can chain autoregressive steps without
@@ -237,7 +240,7 @@ def forward_core(params, x, cfg: ModelConfig, *,
                                  deterministic=deterministic,
                                  precision=precision))
 
-    return jnp.concatenate([skip, x], axis=-1)   # (B, Z, H, W, 2C)
+    return skip, x
 
 
 def forward(params, upper, surface, constants, cfg: ModelConfig, *,
