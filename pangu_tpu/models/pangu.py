@@ -220,22 +220,38 @@ def forward_core(params, x, cfg: ModelConfig, *,
             taps[name] = val
         return val
 
+    def down(px, xx):
+        if cfg.attn_impl == "pallas":
+            from pangu_tpu.ops.updown import down_sample_fused
+            from pangu_tpu.parallel.sharding import multi_device_mesh_active
+            if not multi_device_mesh_active():
+                y = down_sample_fused(px, xx)
+                if y is not None:
+                    return y
+        return L.down_sample(px, xx, precision, rng=rngs[4])
+
+    def up(px, xx):
+        if cfg.attn_impl == "pallas":
+            from pangu_tpu.ops.updown import up_sample_fused
+            from pangu_tpu.parallel.sharding import multi_device_mesh_active
+            if not multi_device_mesh_active():
+                y = up_sample_fused(px, xx, cfg.h_tokens)
+                if y is not None:
+                    return y
+        return L.up_sample(px, xx, cfg.h_tokens, precision, rng=rngs[5])
+
     x = tap("stage0", _run_stage(params["stages"][0], x, cfg, 0, rng=rngs[0],
                                  deterministic=deterministic,
                                  precision=precision))
     skip = x
-    x = shard_tokens(tap("downsample",
-                         L.down_sample(params["downsample"], x, precision,
-                                       rng=rngs[4])))
+    x = shard_tokens(tap("downsample", down(params["downsample"], x)))
     x = tap("stage1", _run_stage(params["stages"][1], x, cfg, 1, rng=rngs[1],
                                  deterministic=deterministic,
                                  precision=precision))
     x = tap("stage2", _run_stage(params["stages"][2], x, cfg, 2, rng=rngs[2],
                                  deterministic=deterministic,
                                  precision=precision))
-    x = shard_tokens(tap("upsample",
-                         L.up_sample(params["upsample"], x, cfg.h_tokens,
-                                     precision, rng=rngs[5])))
+    x = shard_tokens(tap("upsample", up(params["upsample"], x)))
     x = tap("stage3", _run_stage(params["stages"][3], x, cfg, 3, rng=rngs[3],
                                  deterministic=deterministic,
                                  precision=precision))

@@ -447,3 +447,68 @@ def test_forward_train_rng_parity_pallas_vs_xla():
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gs), np.asarray(ws), atol=2e-4,
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("odd_h", [True, False])
+def test_down_up_sample_fused_match_xla(odd_h):
+    """Fused down/up-sample kernels == the XLA compositions (values and
+    gradients), including the odd-latitude pad/crop edges."""
+    from pangu_tpu.ops.updown import down_sample_fused, up_sample_fused
+
+    rng = np.random.default_rng(5 + odd_h)
+    B, Z, H, W, C = 2, 2, (13 if odd_h else 14), 24, 16
+    x = jnp.asarray(rng.normal(size=(B, Z, H, W, C)).astype(np.float32))
+    h2 = -(-H // 2)
+    pd = {
+        "norm": {"scale": jnp.asarray(rng.normal(size=4 * C)
+                                      .astype(np.float32)),
+                 "bias": jnp.asarray(rng.normal(size=4 * C)
+                                     .astype(np.float32))},
+        "reduce": {"kernel": jnp.asarray(
+            rng.normal(size=(4 * C, 2 * C)).astype(np.float32) * 0.1)},
+    }
+    want = L.down_sample(pd, x)
+
+    def loss_f(pd, x):
+        return jnp.sum(down_sample_fused(pd, x) ** 2)
+
+    def loss_r(pd, x):
+        return jnp.sum(L.down_sample(pd, x) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        got = down_sample_fused(pd, x)
+        gf = jax.grad(loss_f, argnums=(0, 1))(pd, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    gr = jax.grad(loss_r, argnums=(0, 1))(pd, x)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
+
+    # upsample back to H
+    xu = jnp.asarray(rng.normal(size=(B, Z, h2, W // 2, 2 * C)
+                                ).astype(np.float32))
+    pu = {
+        "expand": {"kernel": jnp.asarray(
+            rng.normal(size=(2 * C, 4 * C)).astype(np.float32) * 0.1)},
+        "norm": {"scale": jnp.asarray(rng.normal(size=C).astype(np.float32)),
+                 "bias": jnp.asarray(rng.normal(size=C).astype(np.float32))},
+        "mix": {"kernel": jnp.asarray(
+            rng.normal(size=(C, C)).astype(np.float32) * 0.1)},
+    }
+    want_u = L.up_sample(pu, xu, H)
+
+    def loss_fu(pu, xu):
+        return jnp.sum(up_sample_fused(pu, xu, H) ** 2)
+
+    def loss_ru(pu, xu):
+        return jnp.sum(L.up_sample(pu, xu, H) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        got_u = up_sample_fused(pu, xu, H)
+        gfu = jax.grad(loss_fu, argnums=(0, 1))(pu, xu)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               atol=1e-4)
+    gru = jax.grad(loss_ru, argnums=(0, 1))(pu, xu)
+    for a, b in zip(jax.tree.leaves(gfu), jax.tree.leaves(gru)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
