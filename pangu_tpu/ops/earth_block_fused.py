@@ -61,10 +61,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pangu_tpu.ops.block_tail import tail_math
 
-# Tuning knobs (measured on v5e, see NOTES.md): how many longitude windows
-# ride the attention dot_general batch dim per fori_loop step, and whether
-# the loop is fully unrolled (TPU fori_loop only supports all-or-nothing).
-_CHUNK_TARGET = int(os.environ.get("PANGU_LON_CHUNK", "5"))
+# Tuning knobs (measured on v5e via scripts/chunk_sweep.py): how many
+# longitude windows ride the attention dot_general batch dim per
+# fori_loop step (stage-0 block: 5 -> 15.8 ms, 10 -> 14.4, 30 -> 15.0;
+# stage-1: 9.0 / 8.8 / -), and whether the loop is fully unrolled
+# (slightly worse on both stages).
+_CHUNK_TARGET = int(os.environ.get("PANGU_LON_CHUNK", "10"))
 _ATTN_UNROLL = os.environ.get("PANGU_ATTN_UNROLL", "0") == "1"
 
 

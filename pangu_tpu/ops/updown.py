@@ -147,12 +147,16 @@ def _make_up_kernel(g: int, w: int, c_in: int, c_out: int, fast_math: bool):
                                 preferred_element_type=jnp.float32)
         e_s[...] = e.astype(x.dtype).reshape(g, w, 4 * c_out)
         # depth-to-space: feature (h_off, w_off, C) -> grid offsets
-        # (reference models/layers.py:481-489)
+        # (reference models/layers.py:481-489). Scratch is (2, 2, g, w, C)
+        # so every store uses LEADING int indices — Mosaic rejects the
+        # mid-dim variant (`s[:, ho, :, wo, :] = v` -> unsupported shape
+        # cast; see scripts/mosaic_probe.py)
         for ho in range(2):
             for wo in range(2):
                 off = (ho * 2 + wo) * c_out
-                out_s[:, ho, :, wo, :] = e_s[:, :, off:off + c_out]
-        y = out_s[...].reshape(2 * g * 2 * w, c_out)
+                out_s[ho, wo] = e_s[:, :, off:off + c_out]
+        y = out_s[...].transpose(2, 0, 3, 1, 4)          # (g, 2, w, 2, C)
+        y = y.reshape(2 * g * 2 * w, c_out)
         y = _kernel_ln(y, ns_ref[...], nb_ref[...], fast_math)
         y = jax.lax.dot_general(y, wm_ref[...], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -186,7 +190,7 @@ def _up_pallas(x, we, ns, nb, wm, fast_math: bool):
                   fullspec(nb.shape), fullspec(wm.shape)],
         out_specs=spec_o,
         scratch_shapes=[pltpu.VMEM((g, w, 4 * c_out), x.dtype),
-                        pltpu.VMEM((g, 2, w, 2, c_out), x.dtype)],
+                        pltpu.VMEM((2, 2, g, w, c_out), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -373,7 +373,10 @@ def _fused_core(heads: int):
 # (sublane-major), which Mosaic relayouts cheaply.
 # ---------------------------------------------------------------------------
 
-def _lon_chunk(nlon: int, target: int = 5) -> int:
+def _lon_chunk(nlon: int, target: int = None) -> int:
+    if target is None:
+        from pangu_tpu.ops.earth_block_fused import _CHUNK_TARGET
+        target = _CHUNK_TARGET
     for w in range(min(nlon, target), 0, -1):
         if nlon % w == 0:
             return w

@@ -54,8 +54,12 @@ def main():
     if "--one" in sys.argv:
         inner(int(sys.argv[sys.argv.index("--one") + 1]))
         return
-    for chunk, unroll in [(5, 0), (5, 1), (10, 0), (10, 1), (15, 0),
-                          (30, 0), (3, 0), (2, 0), (1, 0), (1, 1)]:
+    import json
+    pairs = [(5, 0), (5, 1), (10, 0), (10, 1), (15, 0),
+             (30, 0), (3, 0), (2, 0), (1, 0), (1, 1)]
+    if len(sys.argv) > 1:
+        pairs = json.loads(sys.argv[1])
+    for chunk, unroll in pairs:
         for stage in (0, 1):
             env = dict(_os.environ, PANGU_LON_CHUNK=str(chunk),
                        PANGU_ATTN_UNROLL=str(unroll))

@@ -89,10 +89,23 @@ def main():
     total += timeit("stage3", lambda x: run_stage_fused(
         params["stages"][3], x, g0, fast_math=cfg.fast_math), x0s)
 
+    # ---- fused down/up kernels (vs the XLA rows above) ----
+    from pangu_tpu.ops.updown import down_sample_fused, up_sample_fused
+    timeit("down (pallas)", lambda x: down_sample_fused(
+        params["downsample"], x), x0s)
+    timeit("up (pallas)", lambda x: up_sample_fused(
+        params["upsample"], x, cfg.h_tokens), x1s)
+
     # ---- recovery (takes the 2C concat) ----
     xcat = [rand((1, g0.z, g0.h, g0.w, 2 * g0.dim)) for _ in range(POOL)]
     total += timeit("recovery", lambda x: L.patch_recovery(
         params["patch_recovery"], x, cfg), xcat)
+
+    # ---- token-space transition ----
+    from pangu_tpu.engine.transition import apply_transition, build_transition
+    tp = jax.jit(lambda p: build_transition(p, constants, cfg))(params)
+    jax.block_until_ready(tp)
+    timeit("transition", lambda x: apply_transition(tp, x), xcat)
 
     print(f"{'sum':14s}: {total:8.2f} ms", flush=True)
 
