@@ -35,6 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 from pangu_tpu.ops.block_tail import _kernel_ln
 
 
+import os as _os
+
+_DOWN_G = int(_os.environ.get("PANGU_DOWN_G", "16"))
+_UP_G = int(_os.environ.get("PANGU_UP_G", "8"))
+
+
 def _pick_g(h2: int, target: int = 16) -> int:
     for g in range(min(h2, target), 0, -1):
         if h2 % g == 0:
@@ -49,13 +55,15 @@ def _pick_g(h2: int, target: int = 16) -> int:
 def _make_down_kernel(g: int, w2: int, c: int, fast_math: bool):
     def kernel(x_ref, ns_ref, nb_ref, wr_ref, o_ref, cat_s):
         x = x_ref[0, 0]                                  # (2g, W, C)
-        x = x.reshape(g, 2, w2, 2, c)
+        # ONE relayout bringing the 2x2 offsets to the leading dims, then
+        # four cheap leading-index reads (4 separate stride-2 sublane
+        # gathers measured slower; scripts/mosaic_probe.py pattern 5)
+        x = x.reshape(g, 2, w2, 2, c).transpose(1, 3, 0, 2, 4)
         # merge order (h_off, w_off, C) — reference models/layers.py:449-451
         for ho in range(2):
             for wo in range(2):
-                part = x[:, ho, :, wo, :]                # (g, w2, C)
                 off = (ho * 2 + wo) * c
-                cat_s[:, :, off:off + c] = part
+                cat_s[:, :, off:off + c] = x[ho, wo]
         cat = _kernel_ln(cat_s[...].reshape(g * w2, 4 * c),
                          ns_ref[...], nb_ref[...], fast_math)
         y = jax.lax.dot_general(cat, wr_ref[...], (((1,), (0,)), ((), ())),
@@ -69,7 +77,7 @@ def _down_pallas(x, ns, nb, wr, fast_math: bool):
     """x: (B, Z, H2*2, W, C) lat-padded even. Returns (B, Z, H2, W/2, 2C)."""
     b, z, h, w, c = x.shape
     h2, w2 = h // 2, w // 2
-    g = _pick_g(h2)
+    g = _pick_g(h2, _DOWN_G)
 
     spec_x = pl.BlockSpec((1, 1, 2 * g, w, c),
                           lambda bb, zz, hh: (bb, zz, hh, 0, 0),
@@ -169,7 +177,7 @@ def _up_pallas(x, we, ns, nb, wm, fast_math: bool):
     """x: (B, Z, H, W, 2C). Returns (B, Z, 2H, 2W, C') pre-crop."""
     b, z, h, w, c_in = x.shape
     c_out = we.shape[-1] // 4
-    g = _pick_g(h, 8)
+    g = _pick_g(h, _UP_G)
 
     spec_x = pl.BlockSpec((1, 1, g, w, c_in),
                           lambda bb, zz, hh: (bb, zz, hh, 0, 0),

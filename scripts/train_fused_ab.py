@@ -44,7 +44,11 @@ def main():
     # keeping them on device costs 0.6 GiB of the already-tight HBM
     params = jax.tree.map(lambda a: np.asarray(a), params)
 
-    for fused in [True, False, True, False]:
+    import sys
+    order = [True, False, True, False]
+    if len(sys.argv) > 1:
+        order = [a == "1" for a in sys.argv[1:]]
+    for fused in order:
         PM.TRAIN_FUSED = fused
         state = T.create_train_state(
             jax.tree.map(jnp.asarray, params), tx)
