@@ -68,6 +68,11 @@ from pangu_tpu.ops.block_tail import tail_math
 # (slightly worse on both stages).
 _CHUNK_TARGET = int(os.environ.get("PANGU_LON_CHUNK", "10"))
 _ATTN_UNROLL = os.environ.get("PANGU_ATTN_UNROLL", "0") == "1"
+# grid dimension semantics for the (no-accumulator) forward block kernel:
+# the innermost (lat-window) grid dim has no cross-program dependency
+_V2_SEMANTICS = (("parallel",) * 3
+                 if os.environ.get("PANGU_V2_ALLPAR", "0") == "1"
+                 else ("parallel", "parallel", "arbitrary"))
 
 
 def _lon_chunk(nlon: int, target: int | None = None) -> int:
@@ -306,7 +311,7 @@ def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
         out_specs=out_spec,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=_V2_SEMANTICS,
             vmem_limit_bytes=128 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * z * hp * w * c * (4 * c + 2 * n + 8 * c),
