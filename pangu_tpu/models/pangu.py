@@ -122,6 +122,30 @@ def init_params(rng, cfg: ModelConfig):
 # Forward
 # ---------------------------------------------------------------------------
 
+def _stage_drops(n_blocks: int, rates, offset: int, rng, B: int):
+    """Per-block (B, 2) stochastic-depth branch scales, drawn with the
+    SAME splits/keys as the XLA drop_path path so the streams match
+    bit-for-bit across implementations."""
+    drops = []
+    r = rng
+    for j in range(n_blocks):
+        rate = rates[offset + j]
+        r1 = r2 = None
+        if r is not None:
+            r, brng = jax.random.split(r)
+            _, r1, _, r2 = tuple(jax.random.split(brng, 4))
+
+        def scale(rk, rate=rate):
+            if rk is None or rate == 0.0:
+                return jnp.ones((B,), jnp.float32)
+            keep = 1.0 - rate
+            m = jax.random.bernoulli(rk, keep, (B, 1, 1, 1, 1))
+            return m.reshape(B).astype(jnp.float32) / keep
+
+        drops.append(jnp.stack([scale(r1), scale(r2)], axis=1))
+    return drops
+
+
 def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
                rng, deterministic, precision):
     """Apply one EarthSpecificLayer: blocks alternate roll=False/True by
@@ -161,24 +185,8 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
             # custom_vjp remat backward; stochastic depth as per-sample
             # branch scales, drawn with the SAME splits/keys as the XLA
             # path below so losses match bit-for-bit across paths
-            B = x.shape[0]
-            drops = []
-            r = rng
-            for j in range(len(stage_params["blocks"])):
-                rate = rates[offset + j]
-                r1 = r2 = None
-                if r is not None:
-                    r, brng = jax.random.split(r)
-                    _, r1, _, r2 = tuple(jax.random.split(brng, 4))
-
-                def scale(rk, rate=rate):
-                    if rk is None or rate == 0.0:
-                        return jnp.ones((B,), jnp.float32)
-                    keep = 1.0 - rate
-                    m = jax.random.bernoulli(rk, keep, (B, 1, 1, 1, 1))
-                    return m.reshape(B).astype(jnp.float32) / keep
-
-                drops.append(jnp.stack([scale(r1), scale(r2)], axis=1))
+            drops = _stage_drops(len(stage_params["blocks"]), rates, offset,
+                                 rng, x.shape[0])
             return run_stage_train(stage_params, x, geom, drops,
                                    fast_math=cfg.fast_math)
 
@@ -196,6 +204,40 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
             block_fn = jax.checkpoint(block_fn)
         x = block_fn(bp, x, rng=brng)
     return x
+
+
+def _maybe_run_stages12_merged(s1, s2, x, cfg: ModelConfig, rng1, rng2,
+                               deterministic):
+    """Run encoder stage 1 and decoder stage 2 as ONE rolled-coordinate
+    kernel chain (they share geometry and are consecutive,
+    models/pangu_model.py:64-72): the canonicalising roll + crop + re-pad
+    between them disappears. Returns None when the fused path doesn't
+    apply (then the caller runs the stages separately)."""
+    if cfg.attn_impl != "pallas" or cfg.depths[1] % 2 != 0:
+        return None
+    from pangu_tpu.ops.earth_block_fused import (run_stage_fused,
+                                                 run_stage_train,
+                                                 stage_supports_fused)
+    from pangu_tpu.parallel.sharding import multi_device_mesh_active
+    if multi_device_mesh_active():
+        return None
+    if not (stage_supports_fused(s1) and stage_supports_fused(s2)):
+        return None
+    geom = cfg.stage(1)
+    combined = {"blocks": list(s1["blocks"]) + list(s2["blocks"])}
+    if deterministic:
+        return run_stage_fused(combined, x, geom, fast_math=cfg.fast_math)
+    if not TRAIN_FUSED:
+        return None
+    rates = cfg.drop_path_rates()
+    B = x.shape[0]
+    # per-stage rng streams, exactly as the unmerged path draws them
+    drops = (_stage_drops(len(s1["blocks"]), rates, sum(cfg.depths[:1]),
+                          rng1, B)
+             + _stage_drops(len(s2["blocks"]), rates, sum(cfg.depths[:2]),
+                            rng2, B))
+    return run_stage_train(combined, x, geom, drops,
+                           fast_math=cfg.fast_math)
 
 
 def forward_core(params, x, cfg: ModelConfig, *,
@@ -245,12 +287,20 @@ def forward_core(params, x, cfg: ModelConfig, *,
                                  precision=precision))
     skip = x
     x = shard_tokens(tap("downsample", down(params["downsample"], x)))
-    x = tap("stage1", _run_stage(params["stages"][1], x, cfg, 1, rng=rngs[1],
-                                 deterministic=deterministic,
-                                 precision=precision))
-    x = tap("stage2", _run_stage(params["stages"][2], x, cfg, 2, rng=rngs[2],
-                                 deterministic=deterministic,
-                                 precision=precision))
+    merged = (None if taps is not None else _maybe_run_stages12_merged(
+        params["stages"][1], params["stages"][2], x, cfg,
+        rngs[1], rngs[2], deterministic))
+    if merged is not None:
+        x = merged
+    else:
+        x = tap("stage1", _run_stage(params["stages"][1], x, cfg, 1,
+                                     rng=rngs[1],
+                                     deterministic=deterministic,
+                                     precision=precision))
+        x = tap("stage2", _run_stage(params["stages"][2], x, cfg, 2,
+                                     rng=rngs[2],
+                                     deterministic=deterministic,
+                                     precision=precision))
     x = shard_tokens(tap("upsample", up(params["upsample"], x)))
     x = tap("stage3", _run_stage(params["stages"][3], x, cfg, 3, rng=rngs[3],
                                  deterministic=deterministic,
