@@ -93,6 +93,21 @@ class ModelConfig:
     attn_impl: str = "xla"      # "xla" | "pallas"
     fast_math: bool = False     # bf16 LayerNorm stats + tanh-approx GELU
                                 # (perf mode; parity mode keeps fp32/erf)
+    # ---- kernel tuning (measured defaults, scripts/chunk_sweep.py /
+    # scripts/gbwd_ab.py / scripts/train_fused_ab.py) -------------------
+    train_fused: bool = True    # training fwd through whole-block kernels
+                                # with per-block custom_vjp remat backward
+    lon_chunk: int = 10         # lon windows per attention dot_general
+                                # batch dim inside the block kernels
+    attn_unroll: bool = False   # fully unroll the kernels' lon loop
+    grid_bwd: str = "pallas"    # grid-attention backward: "pallas" (one
+                                # fused kernel) | "xla" (vjp composition)
+    block_layout: str = "v2"    # inter-block storage: "v2" (token grid,
+                                # rolled-coordinate kernels) | "wm"
+                                # (window-major, zero-relayout kernels;
+                                # wins per block but pays canonical<->wm
+                                # converters until embed/down/up/recovery
+                                # also speak window-major)
 
     def __post_init__(self):
         pz, ph, pw = self.patch

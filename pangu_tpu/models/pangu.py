@@ -24,12 +24,13 @@ from pangu_tpu.config import ModelConfig
 from pangu_tpu.models import layers as L
 from pangu_tpu.parallel.sharding import shard_tokens
 
-# Training-path kernel toggle (A/B harness: scripts/train_fused_ab.py).
-# When on, the training forward runs through the whole-block kernels with
-# a per-block custom_vjp remat backward (ops/earth_block_fused.py).
-import os as _os
-
-TRAIN_FUSED = _os.environ.get("PANGU_TRAIN_FUSED", "1") == "1"
+# Training-path kernel toggle (A/B harness: scripts/train_fused_ab.py):
+# ModelConfig.train_fused routes the training forward through the
+# whole-block kernels with a per-block custom_vjp remat backward
+# (ops/earth_block_fused.py).  TRAIN_FUSED is the process default for
+# legacy scripts that monkeypatch it; config wins when it disagrees with
+# neither (both default True).
+TRAIN_FUSED = True
 
 
 # ---------------------------------------------------------------------------
@@ -164,8 +165,15 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
             if not multi_device_mesh_active():
                 # whole-stage fused path: pad/roll/crop folded into the
                 # block kernels' index maps, one pallas_call per block
+                if cfg.block_layout == "wm":
+                    from pangu_tpu.ops.earth_block_wm import run_stage_wm
+                    return run_stage_wm(stage_params, x, geom,
+                                        fast_math=cfg.fast_math,
+                                        chunk_target=cfg.lon_chunk)
                 return run_stage_fused(stage_params, x, geom,
-                                       fast_math=cfg.fast_math)
+                                       fast_math=cfg.fast_math,
+                                       chunk_target=cfg.lon_chunk,
+                                       unroll=cfg.attn_unroll)
             mesh = jax.sharding.get_abstract_mesh()
             shape = dict(getattr(mesh, "shape", {}) or {})
             if (set(shape) >= {"dp", "sp"}
@@ -173,9 +181,12 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
                 # >1-device mesh: same kernels per (dp, sp) shard via
                 # shard_map; lon rolls become ppermute halo exchanges
                 return run_stage_fused_sharded(stage_params, x, geom, mesh,
-                                               fast_math=cfg.fast_math)
+                                               fast_math=cfg.fast_math,
+                                               chunk_target=cfg.lon_chunk,
+                                               unroll=cfg.attn_unroll)
 
-    if cfg.attn_impl == "pallas" and not deterministic and TRAIN_FUSED:
+    if (cfg.attn_impl == "pallas" and not deterministic
+            and cfg.train_fused and TRAIN_FUSED):
         from pangu_tpu.ops.earth_block_fused import (run_stage_train,
                                                      stage_supports_fused)
         from pangu_tpu.parallel.sharding import multi_device_mesh_active
@@ -188,7 +199,10 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
             drops = _stage_drops(len(stage_params["blocks"]), rates, offset,
                                  rng, x.shape[0])
             return run_stage_train(stage_params, x, geom, drops,
-                                   fast_math=cfg.fast_math)
+                                   fast_math=cfg.fast_math,
+                                   chunk_target=cfg.lon_chunk,
+                                   unroll=cfg.attn_unroll,
+                                   grid_bwd=cfg.grid_bwd)
 
     for j, bp in enumerate(stage_params["blocks"]):
         brng = None
@@ -226,8 +240,14 @@ def _maybe_run_stages12_merged(s1, s2, x, cfg: ModelConfig, rng1, rng2,
     geom = cfg.stage(1)
     combined = {"blocks": list(s1["blocks"]) + list(s2["blocks"])}
     if deterministic:
-        return run_stage_fused(combined, x, geom, fast_math=cfg.fast_math)
-    if not TRAIN_FUSED:
+        if cfg.block_layout == "wm":
+            from pangu_tpu.ops.earth_block_wm import run_stage_wm
+            return run_stage_wm(combined, x, geom, fast_math=cfg.fast_math,
+                                chunk_target=cfg.lon_chunk)
+        return run_stage_fused(combined, x, geom, fast_math=cfg.fast_math,
+                               chunk_target=cfg.lon_chunk,
+                               unroll=cfg.attn_unroll)
+    if not (cfg.train_fused and TRAIN_FUSED):
         return None
     rates = cfg.drop_path_rates()
     B = x.shape[0]
@@ -237,7 +257,9 @@ def _maybe_run_stages12_merged(s1, s2, x, cfg: ModelConfig, rng1, rng2,
              + _stage_drops(len(s2["blocks"]), rates, sum(cfg.depths[:2]),
                             rng2, B))
     return run_stage_train(combined, x, geom, drops,
-                           fast_math=cfg.fast_math)
+                           fast_math=cfg.fast_math,
+                           chunk_target=cfg.lon_chunk,
+                           unroll=cfg.attn_unroll, grid_bwd=cfg.grid_bwd)
 
 
 def forward_core(params, x, cfg: ModelConfig, *,

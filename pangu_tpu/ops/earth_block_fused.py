@@ -51,7 +51,6 @@ the whole residual branch, and pallas_call has no autodiff.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -61,25 +60,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from pangu_tpu.ops.block_tail import tail_math
 
-# Tuning knobs (measured on v5e via scripts/chunk_sweep.py): how many
+# Tuning defaults (measured on v5e via scripts/chunk_sweep.py): how many
 # longitude windows ride the attention dot_general batch dim per
 # fori_loop step (stage-0 block: 5 -> 15.8 ms, 10 -> 14.4, 30 -> 15.0;
-# stage-1: 9.0 / 8.8 / -), and whether the loop is fully unrolled
-# (slightly worse on both stages).
-_CHUNK_TARGET = int(os.environ.get("PANGU_LON_CHUNK", "10"))
-_ATTN_UNROLL = os.environ.get("PANGU_ATTN_UNROLL", "0") == "1"
-# grid dimension semantics for the (no-accumulator) forward block kernel:
-# the innermost (lat-window) grid dim has no cross-program dependency
-_V2_SEMANTICS = (("parallel",) * 3
-                 if os.environ.get("PANGU_V2_ALLPAR", "0") == "1"
-                 else ("parallel", "parallel", "arbitrary"))
+# stage-1: 9.0 / 8.8 / -).  Overridable per run via ModelConfig.lon_chunk
+# / ModelConfig.attn_unroll (config.py) — no env-var knobs.
+DEFAULT_LON_CHUNK = 10
+_V2_SEMANTICS = ("parallel", "parallel", "arbitrary")
 
 
 def _lon_chunk(nlon: int, target: int | None = None) -> int:
     """Largest divisor of nlon that is <= target (lon windows batched per
     attention dot_general)."""
     if target is None:
-        target = _CHUNK_TARGET
+        target = DEFAULT_LON_CHUNK
     for c in range(min(nlon, target), 0, -1):
         if nlon % c == 0:
             return c
@@ -89,12 +83,13 @@ def _lon_chunk(nlon: int, target: int | None = None) -> int:
 def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
                     h_real: int, hp: int, dw: int, canon_add: int,
                     n_x_refs: int, has_mask: bool, fast_math: bool,
-                    has_drop: bool = False):
+                    has_drop: bool = False,
+                    chunk_target: int | None = None, unroll: bool = False):
     wz, wh, ww = window
     n = wz * wh * ww
     g = wh // 2
     scale = hd ** -0.5
-    chunk = _lon_chunk(nlon)
+    chunk = _lon_chunk(nlon, chunk_target)
 
     def kernel(*refs):
         xs = refs[:n_x_refs]
@@ -182,7 +177,7 @@ def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
             return carry
 
         steps = nlon // chunk
-        if _ATTN_UNROLL and steps > 1:
+        if unroll and steps > 1:
             for ll in range(steps):
                 body(ll, 0)
         else:
@@ -210,7 +205,8 @@ def _make_v2_kernel(heads: int, hd: int, window, nlon: int, c: int,
 
 def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
                    canon_add: int, mask: Optional[jax.Array],
-                   fast_math: bool, drop: Optional[jax.Array] = None):
+                   fast_math: bool, drop: Optional[jax.Array] = None,
+                   chunk_target: int | None = None, unroll: bool = False):
     """One whole block on the storage tensor ``xs`` (B, Z, Hp, W, C).
 
     ``delta`` maps window rows to storage rows (window row r of window
@@ -304,7 +300,7 @@ def _block_v2_call(p, xs, geom, delta: Tuple[int, int, int],
     return pl.pallas_call(
         _make_v2_kernel(heads, hd, geom.window, nlon, c, geom.h, hp, dw,
                         canon_add, len(x_specs), mask is not None,
-                        fast_math, drop is not None),
+                        fast_math, drop is not None, chunk_target, unroll),
         out_shape=jax.ShapeDtypeStruct(xs.shape, dt),
         grid=(b, z // wz, nlat),
         in_specs=in_specs,
@@ -335,7 +331,9 @@ def _has_lora(p) -> bool:
 
 @functools.lru_cache(maxsize=64)
 def _block_v2_train_core(geom, delta: Tuple[int, int, int], canon_add: int,
-                         has_mask: bool, fast_math: bool):
+                         has_mask: bool, fast_math: bool,
+                         chunk_target: int | None = None,
+                         unroll: bool = False, grid_bwd: str = "pallas"):
     """custom_vjp for one whole block on the rolled-coordinate storage
     tensor: forward = the v2 kernel (_block_v2_call), backward = vjp of
     the equivalent XLA/grid composition (recompute-in-backward, i.e. the
@@ -354,7 +352,8 @@ def _block_v2_train_core(geom, delta: Tuple[int, int, int], canon_add: int,
     if has_mask:
         ids_np = L.window_region_ids(geom.z, hp, window)
     attn_core = _grid_core(heads, window,
-                           (geom.z, hp) if has_mask else None)
+                           (geom.z, hp) if has_mask else None,
+                           bwd_impl=grid_bwd)
 
     def ref(bp, xs, drop):
         x = xs
@@ -391,7 +390,8 @@ def _block_v2_train_core(geom, delta: Tuple[int, int, int], canon_add: int,
     def fused(bp, xs, drop):
         ids = None if ids_np is None else jnp.asarray(ids_np)
         return _block_v2_call(bp, xs, geom, delta, canon_add, ids,
-                              fast_math, drop=drop)
+                              fast_math, drop=drop,
+                              chunk_target=chunk_target, unroll=unroll)
 
     def fwd(bp, xs, drop):
         return fused(bp, xs, drop), (bp, xs, drop)
@@ -409,7 +409,9 @@ def _block_v2_train_core(geom, delta: Tuple[int, int, int], canon_add: int,
     return fused
 
 
-def run_stage_train(stage_params, x, geom, drops, *, fast_math: bool = False):
+def run_stage_train(stage_params, x, geom, drops, *, fast_math: bool = False,
+                    chunk_target: int | None = None, unroll: bool = False,
+                    grid_bwd: str = "pallas"):
     """Training forward of one EarthSpecificLayer through the whole-block
     kernels (same rolled-coordinate storage trick as run_stage_fused),
     differentiable via per-block custom_vjp rematerialisation.
@@ -429,7 +431,8 @@ def run_stage_train(stage_params, x, geom, drops, *, fast_math: bool = False):
         target = half if shifted else (0, 0, 0)
         delta = tuple(t - o for t, o in zip(target, off))
         core = _block_v2_train_core(geom, delta, target[1], shifted,
-                                    fast_math)
+                                    fast_math, chunk_target, unroll,
+                                    grid_bwd)
         xs = core(bp, xs, drops[j])
         off = target
 
@@ -482,7 +485,9 @@ def stage_shardable(geom, mesh_shape: dict, batch: int) -> bool:
 
 
 def run_stage_fused_sharded(stage_params, x, geom, mesh, *,
-                            fast_math: bool = False):
+                            fast_math: bool = False,
+                            chunk_target: int | None = None,
+                            unroll: bool = False):
     """shard_map wrapper: run the whole-block kernels per (dp, sp) shard.
 
     GSPMD cannot partition a ``pallas_call``, so under a >1-device mesh
@@ -499,7 +504,8 @@ def run_stage_fused_sharded(stage_params, x, geom, mesh, *,
 
     def inner(params, xx):
         return run_stage_fused(params, xx, geom, fast_math=fast_math,
-                               sp_axis="sp", sp_size=sp)
+                               sp_axis="sp", sp_size=sp,
+                               chunk_target=chunk_target, unroll=unroll)
 
     # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
     # annotation, which the vma checker insists on
@@ -508,7 +514,8 @@ def run_stage_fused_sharded(stage_params, x, geom, mesh, *,
 
 
 def run_stage_fused(stage_params, x, geom, *, fast_math: bool = False,
-                    sp_axis: Optional[str] = None, sp_size: int = 1):
+                    sp_axis: Optional[str] = None, sp_size: int = 1,
+                    chunk_target: int | None = None, unroll: bool = False):
     """Run one EarthSpecificLayer (stack of alternating no-roll/roll
     blocks, models/layers.py:110-125) entirely in whole-block kernels.
 
@@ -544,7 +551,8 @@ def run_stage_fused(stage_params, x, geom, *, fast_math: bool = False,
             delta = (delta[0], delta[1], 0)
         xs = _block_v2_call(bp, xs, geom, delta, canon_add=target[1],
                             mask=mask if shifted else None,
-                            fast_math=fast_math)
+                            fast_math=fast_math, chunk_target=chunk_target,
+                            unroll=unroll)
         off = target
 
     if off != (0, 0, 0):

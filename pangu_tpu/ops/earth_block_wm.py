@@ -1,0 +1,356 @@
+"""Window-major whole-block kernels: the inter-block activation tensor is
+stored as (B, nz, nlat, nlon, N, C) — one row per window token, windows
+contiguous — instead of the canonical token grid (B, Z, Hp, W, C).
+
+Why: the v2 whole-block kernels (ops/earth_block_fused.py) already fold
+pad/roll/crop into index maps, but every program still performs the
+(wz, wh, W, C) <-> (nlon, N, C) relayout on entry AND exit — a sublane
+gather over the full activation, measured as the dominant per-block
+overhead (~40 ms of the 119 ms block total per forward, NOTES.md).  In
+window-major storage:
+
+  * UNSHIFTED blocks read their (nlon, N, C) attention rows directly —
+    zero relayout in or out.  The qkv/proj/MLP matmuls all run on the
+    flat (nlon*N, C) view, which is a free reshape.
+  * SHIFTED blocks assemble their windows from FOUR 72-row z-half chunks
+    of neighbouring (zz, hh) window blocks via BlockSpec index maps
+    (window row layout is (z, lat, lon)-major, so the dz=+-1 z shift
+    moves whole n/2 chunks — and 72 satisfies Mosaic's 8-sublane block
+    divisibility, which the finer 36-row lat chunks would not).  The
+    lat and lon half-shifts interleave rows WITHIN those chunks, but in
+    window-major coords each reduces to two static sublane rolls and a
+    select (no gather):
+
+        lat:  zhalf = where(row < dh*ww, roll(chunk_hh,  -dh*ww, rows),
+                                         roll(chunk_hh1, +dh*ww, rows))
+        lon:  out   = where(w' < ww-dw,  roll(x, -dw, rows),
+                                         roll(roll(x,-1,lon), ww-dw, rows))
+
+    with the lon-neighbour reached by a cheap leading-dim rotate.
+
+Same coordinate-offset trick as v2: shifted blocks WRITE in their own
+rolled window coordinates and the next block's reads fold in the inverse
+shift, so per-block data movement never exceeds one read + one write.
+
+Reference semantics pinned: pad/roll/window-partition/mask order of
+EarthSpecificBlock (/root/reference/models/layers.py:183-253); zero
+latitude-pad rows are synthesised from a row-index iota before the qkv
+projection (reference re-pads zeros each block, layers.py:192).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pangu_tpu.ops.block_tail import tail_math
+from pangu_tpu.ops.earth_block_fused import _lon_chunk
+
+
+# ---------------------------------------------------------------------------
+# Layout converters (stage boundaries only)
+# ---------------------------------------------------------------------------
+
+def to_window_major(x, window):
+    """(B, Z, Hp, W, C) -> (B, nz, nlat, nlon, N, C), N ordered (z, h, w)."""
+    wz, wh, ww = window
+    b, z, hp, w, c = x.shape
+    nz, nlat, nlon = z // wz, hp // wh, w // ww
+    x = x.reshape(b, nz, wz, nlat, wh, nlon, ww, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, nz, nlat, nlon, wz * wh * ww, c)
+
+
+def from_window_major(xs, window):
+    """(B, nz, nlat, nlon, N, C) -> (B, Z, Hp, W, C)."""
+    wz, wh, ww = window
+    b, nz, nlat, nlon, n, c = xs.shape
+    xs = xs.reshape(b, nz, nlat, nlon, wz, wh, ww, c)
+    xs = xs.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return xs.reshape(b, nz * wz, nlat * wh, nlon * ww, c)
+
+
+# ---------------------------------------------------------------------------
+# The whole-block kernel, window-major edition
+# ---------------------------------------------------------------------------
+
+def _make_wm_kernel(heads: int, hd: int, window, nlon: int, c: int,
+                    h_real: int, hp: int, dw: int, canon_add: int,
+                    stitch: bool, has_mask: bool, fast_math: bool,
+                    has_drop: bool, chunk_target: Optional[int]):
+    wz, wh, ww = window
+    n = wz * wh * ww
+    scale = hd ** -0.5
+    chunk = _lon_chunk(nlon, chunk_target)
+    n_x_refs = 4 if stitch else 1
+
+    def kernel(*refs):
+        xs = refs[:n_x_refs]
+        i = n_x_refs
+        (wqkv_ref, bqkv_ref, wp_ref, bp_ref, b_ref) = refs[i:i + 5]
+        i += 5
+        ids_ref = None
+        if has_mask:
+            ids_ref = refs[i]
+            i += 1
+        drop_ref = None
+        if has_drop:
+            drop_ref = refs[i]                       # (1, 2) SMEM scalars
+            i += 1
+        (n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref) = refs[i:i + 8]
+        o_ref = refs[i + 8]
+        qkv_s, attn_s = refs[i + 9:i + 11]           # VMEM scratch
+
+        # ---- assemble (nlon, N, C), window coords for z/lat ------------
+        if stitch:
+            # 4 z-half chunks (nlon, N/2, C): [a, b] for window z-row 0
+            # from lat-windows (ha, ha+1), [c, d] for z-row 1.  The lat
+            # half-shift interleaves dh*ww-row runs: two sublane rolls +
+            # select per z-half.
+            cut = (wh // 2) * ww
+            half = n // 2
+            r72 = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
+
+            def lat_mix(top, bot):
+                return jnp.where(r72 < cut,
+                                 jnp.roll(top[0, 0, 0], -cut, axis=1),
+                                 jnp.roll(bot[0, 0, 0], cut, axis=1))
+
+            x = jnp.concatenate([lat_mix(xs[0], xs[1]),
+                                 lat_mix(xs[2], xs[3])], axis=1)
+        else:
+            x = xs[0][0, 0, 0]
+
+        # ---- longitude half-shift: window lon w' reads storage lon
+        # (w' + dw); runs of ww-|dw| stay in lon window l, the rest spill
+        # to the neighbour — two sublane rolls + select, no gather -------
+        if dw:
+            w_in_run = jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0), ww)
+            if dw > 0:
+                xn = jnp.roll(x, -1, axis=0)         # lon window l+1
+                x = jnp.where(w_in_run < ww - dw,
+                              jnp.roll(x, -dw, axis=1),
+                              jnp.roll(xn, ww - dw, axis=1))
+            else:
+                xp = jnp.roll(x, 1, axis=0)          # lon window l-1
+                x = jnp.where(w_in_run >= -dw,
+                              jnp.roll(x, -dw, axis=1),
+                              jnp.roll(xp, -(ww + dw), axis=1))
+
+        # ---- zero-synthesise latitude pad rows (layers.py:192) ---------
+        if h_real < hp:
+            hh = pl.program_id(2)
+            row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+            lat_loc = jax.lax.rem(jax.lax.div(row, ww), wh)
+            canon = jax.lax.rem(wh * hh + lat_loc + canon_add, hp)
+            x = jnp.where(canon[None] < h_real, x, jnp.zeros_like(x))
+
+        xf = x.reshape(nlon * n, c)
+        dt = x.dtype
+
+        # ---- ONE wide qkv projection (full MXU lanes) ------------------
+        qkv = jax.lax.dot_general(
+            xf, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkv = qkv + bqkv_ref[...][None].astype(jnp.float32)
+        qkv_s[...] = qkv.astype(dt).reshape(nlon, n, 3 * c)
+
+        bias = b_ref[0].astype(jnp.float32)          # (heads, n, n)
+        if ids_ref is not None:
+            r = ids_ref[...][0]                      # (1, n) int32
+            bias = bias + jnp.where(r[0][None, :] != r[0][:, None],
+                                    jnp.float32(-100.0), jnp.float32(0.0))
+
+        # ---- attention: per-head lane-offset slices of the qkv scratch,
+        # a few lon windows per dot_general batch dim --------------------
+        def body(ll, carry):
+            lo = ll * chunk
+            for h in range(heads):
+                q = qkv_s[pl.ds(lo, chunk), :, h * hd:(h + 1) * hd]
+                k = qkv_s[pl.ds(lo, chunk), :, c + h * hd:c + (h + 1) * hd]
+                v = qkv_s[pl.ds(lo, chunk), :,
+                          2 * c + h * hd:2 * c + (h + 1) * hd]
+                s = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                s = s * jnp.float32(scale) + bias[h][None]
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+                o = jax.lax.dot_general(
+                    pr, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                attn_s[pl.ds(lo, chunk), :,
+                       h * hd:(h + 1) * hd] = o.astype(dt)
+            return carry
+
+        jax.lax.fori_loop(0, nlon // chunk, body, 0, unroll=False)
+
+        # ---- ONE wide output projection --------------------------------
+        a = jax.lax.dot_general(
+            attn_s[...].reshape(nlon * n, c), wp_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a = (a + bp_ref[...][None].astype(jnp.float32)).astype(dt)
+
+        # ---- block tail, token-local so valid in rolled coords ---------
+        s1 = s2 = None
+        if drop_ref is not None:
+            s1, s2 = drop_ref[0, 0], drop_ref[0, 1]
+        y = tail_math(a, xf, n1s_ref[...], n1b_ref[...], n2s_ref[...],
+                      n2b_ref[...], w1_ref[...], b1_ref[...], w2_ref[...],
+                      b2_ref[...], fast_math, s1, s2)
+
+        o_ref[0, 0, 0] = y.reshape(nlon, n, c).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
+                   canon_add: int, mask: Optional[jax.Array],
+                   fast_math: bool, drop: Optional[jax.Array] = None,
+                   chunk_target: Optional[int] = None):
+    """One whole block on window-major storage (B, nz, nlat, nlon, N, C).
+
+    ``delta``: (dz, dh, dw) shift from storage coords to this block's
+    window coords (window token (r_z, r_h, r_w) of window (zz, hh, l)
+    reads storage token (wz*zz + r_z + dz, wh*hh + r_h + dh,
+    ww*l + r_w + dw), modular).  dz in {-1, 0, 1}, dh in {-wh/2, 0, wh/2}.
+    """
+    b, nz, nlat, nlon, n, c = xs.shape
+    wz, wh, ww = geom.window
+    heads = geom.heads
+    hd = c // heads
+    hp = nlat * wh
+    dz, dh, dw = delta
+    stitch = dz != 0 or dh != 0
+    assert n == wz * wh * ww
+
+    if stitch:
+        # four (nlon, N/2, C) z-half chunks: window z-row rz reads source
+        # z-window ((wz*zz + rz + dz) // wz) % nz, local z (rz+dz) % wz =
+        # n-block 1-rz for dz=+-1; its lat rows come from lat-windows
+        # ha = ((wh*hh + dh) // wh) % nlat (supplies local rows dh..wh-1)
+        # and ha+1 (local 0..dh-1) — mixed in-kernel (lat_mix).  The
+        # modular index maps ARE torch.roll's wrap-around.
+        csz = n // 2
+
+        def mk_x_spec(rz, rh):
+            return pl.BlockSpec(
+                (1, 1, 1, nlon, csz, c),
+                lambda bb, zz, hh, rz=rz, rh=rh: (
+                    bb,
+                    ((wz * zz + rz + dz) // wz) % nz,
+                    ((wh * hh + dh) // wh + rh) % nlat,
+                    0, 1 - rz, 0),
+                memory_space=pltpu.VMEM)
+
+        x_specs = [mk_x_spec(rz, rh) for rz in range(2) for rh in range(2)]
+    else:
+        x_specs = [pl.BlockSpec((1, 1, 1, nlon, n, c),
+                                lambda bb, zz, hh: (bb, zz, hh, 0, 0, 0),
+                                memory_space=pltpu.VMEM)]
+
+    dt = xs.dtype
+    wqkv = p["attn"]["qkv"]["kernel"].astype(dt)
+    bqkv = p["attn"]["qkv"]["bias"].astype(dt)
+    wp = p["attn"]["proj"]["kernel"].astype(dt)
+    bp = p["attn"]["proj"]["bias"].astype(dt)
+    bias = p["attn"]["bias_table"]          # native dtype; cast per-tile
+
+    spec_b = pl.BlockSpec((1, heads, n, n),
+                          lambda bb, zz, hh: (zz * nlat + hh, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def fullspec(shape):
+        return pl.BlockSpec(shape, lambda bb, zz, hh: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    operands = [xs] * (4 if stitch else 1) + [wqkv, bqkv, wp, bp, bias]
+    in_specs = x_specs + [fullspec(wqkv.shape), fullspec(bqkv.shape),
+                          fullspec(wp.shape), fullspec(bp.shape), spec_b]
+    if mask is not None:
+        operands.append(mask.reshape(mask.shape[0], 1, n))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, n), lambda bb, zz, hh: (zz * nlat + hh, 0, 0),
+            memory_space=pltpu.VMEM))
+    if drop is not None:
+        operands.append(drop.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec(
+            (1, 2), lambda bb, zz, hh: (bb, 0),
+            memory_space=pltpu.SMEM))
+
+    tail = [p["norm1"]["scale"].astype(dt), p["norm1"]["bias"].astype(dt),
+            p["norm2"]["scale"].astype(dt), p["norm2"]["bias"].astype(dt),
+            p["mlp"]["fc1"]["kernel"].astype(dt),
+            p["mlp"]["fc1"]["bias"].astype(dt),
+            p["mlp"]["fc2"]["kernel"].astype(dt),
+            p["mlp"]["fc2"]["bias"].astype(dt)]
+    hidden = tail[4].shape[-1]
+    operands += tail
+    in_specs += [fullspec((c,)), fullspec((c,)), fullspec((c,)),
+                 fullspec((c,)), fullspec((c, hidden)), fullspec((hidden,)),
+                 fullspec((hidden, c)), fullspec((c,))]
+
+    out_spec = pl.BlockSpec((1, 1, 1, nlon, n, c),
+                            lambda bb, zz, hh: (bb, zz, hh, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    scratch = [pltpu.VMEM((nlon, n, 3 * c), dt),
+               pltpu.VMEM((nlon, n, c), dt)]
+
+    return pl.pallas_call(
+        _make_wm_kernel(heads, hd, geom.window, nlon, c, geom.h, hp, dw,
+                        canon_add, stitch, mask is not None, fast_math,
+                        drop is not None, chunk_target),
+        out_shape=jax.ShapeDtypeStruct(xs.shape, dt),
+        grid=(b, nz, nlat),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nz * nlat * nlon * n * c * (4 * c + 2 * n + 8 * c),
+            bytes_accessed=2 * xs.size * dt.itemsize
+            + bias.size * bias.dtype.itemsize,
+            transcendentals=b * nz * nlat * nlon * heads * n * n),
+    )(*operands)
+
+
+def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
+                 chunk_target: Optional[int] = None):
+    """Run one EarthSpecificLayer entirely in window-major whole-block
+    kernels.  x: canonical (B, Z, H, W, C); returns the same."""
+    wz, wh, ww = geom.window
+    B, Z, H, W, C = x.shape
+    hp = geom.h_padded
+    xg = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
+    xs = to_window_major(xg, geom.window)
+    half = (wz // 2, wh // 2, ww // 2)
+    off = (0, 0, 0)
+    mask = None
+
+    for j, bp in enumerate(stage_params["blocks"]):
+        shifted = (j % 2 == 1)
+        target = half if shifted else (0, 0, 0)
+        delta = tuple(t - o for t, o in zip(target, off))
+        if shifted and mask is None:
+            from pangu_tpu.models.layers import window_region_ids
+            mask = jnp.asarray(window_region_ids(Z, hp, geom.window))
+        xs = _block_wm_call(bp, xs, geom, delta, canon_add=target[1],
+                            mask=mask if shifted else None,
+                            fast_math=fast_math, chunk_target=chunk_target)
+        off = target
+
+    xg = from_window_major(xs, geom.window)
+    if off != (0, 0, 0):
+        xg = jnp.roll(xg, off, axis=(1, 2, 3))
+    return xg[:, :, :H]

@@ -35,10 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 from pangu_tpu.ops.block_tail import _kernel_ln
 
 
-import os as _os
-
-_DOWN_G = int(_os.environ.get("PANGU_DOWN_G", "16"))
-_UP_G = int(_os.environ.get("PANGU_UP_G", "8"))
+# Lat-row group sizes per program (measured, scripts/updown_sweep.py);
+# process defaults — scripts override the module attributes directly.
+_DOWN_G = 16
+_UP_G = 8
 
 
 def _pick_g(h2: int, target: int = 16) -> int:

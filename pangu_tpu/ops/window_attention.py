@@ -375,8 +375,8 @@ def _fused_core(heads: int):
 
 def _lon_chunk(nlon: int, target: int = None) -> int:
     if target is None:
-        from pangu_tpu.ops.earth_block_fused import _CHUNK_TARGET
-        target = _CHUNK_TARGET
+        from pangu_tpu.ops.earth_block_fused import DEFAULT_LON_CHUNK
+        target = DEFAULT_LON_CHUNK
     for w in range(min(nlon, target), 0, -1):
         if nlon % w == 0:
             return w
@@ -750,14 +750,15 @@ def _grid_attention_bwd_pallas(x, g, wqkv, bqkv, wp, bias, window, ids=None):
 # (scripts/xplane.py trace breakdown). An earlier cross-process
 # measurement that suggested a pallas macro-regression (NOTES.md round-2
 # notes) did not reproduce under controlled conditions.
-import os as _os
-
-GRID_BWD_IMPL = _os.environ.get("PANGU_GRID_BWD", "pallas")
+# Process-wide default; per-run override via ModelConfig.grid_bwd
+# (threaded through as _grid_core(..., bwd_impl=...)).
+GRID_BWD_IMPL = "pallas"
 
 
 @functools.lru_cache(maxsize=32)
-def _grid_core(heads: int, window, mask_zh=None):
-    """custom_vjp: grid-layout fused forward; backward per GRID_BWD_IMPL.
+def _grid_core(heads: int, window, mask_zh=None, bwd_impl: str = None):
+    """custom_vjp: grid-layout fused forward; backward per ``bwd_impl``
+    (None -> the module-level GRID_BWD_IMPL default, read at trace time).
 
     ``bias`` is the earth-specific bias table in its NATIVE dtype; when
     ``mask_zh=(z, hp)`` the shifted-window mask is folded in from the
@@ -815,7 +816,7 @@ def _grid_core(heads: int, window, mask_zh=None):
         return _run(*args), args
 
     def bwd(res, g):
-        if GRID_BWD_IMPL != "pallas":
+        if (bwd_impl or GRID_BWD_IMPL) != "pallas":
             res, g = jax.lax.optimization_barrier((res, g))
             _, vjp = jax.vjp(ref, *res)
             return vjp(g)

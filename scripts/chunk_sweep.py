@@ -1,9 +1,9 @@
-"""Sweep PANGU_LON_CHUNK / PANGU_ATTN_UNROLL for the whole-block v2
-kernel: times one stage-0 and one stage-1 block (chained) per setting,
-each in a fresh subprocess (the knobs are read at module import).
+"""Sweep lon_chunk / attn_unroll for the whole-block v2 kernel: times one
+stage-0 and one stage-1 block (chained) per setting, each in a fresh
+subprocess (one TPU client at a time).
 
-Run: python scripts/chunk_sweep.py            # sweep
-     python scripts/chunk_sweep.py --one 0    # single stage (inner mode)
+Run: python scripts/chunk_sweep.py                     # sweep
+     python scripts/chunk_sweep.py --one 0 10 0        # inner mode
 """
 
 import os as _os
@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def inner(stage_idx: int):
+def inner(stage_idx: int, chunk: int = 10, unroll: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +38,9 @@ def inner(stage_idx: int):
                      ).astype(jnp.bfloat16)
 
     f = jax.jit(lambda x: EBF._block_v2_call(bp, x, geom, (0, 0, 0), 0,
-                                             None, False),
+                                             None, False,
+                                             chunk_target=chunk,
+                                             unroll=unroll),
                 donate_argnums=0)
     x = jax.block_until_ready(f(x0 + 0))
     n = 20
@@ -52,7 +54,9 @@ def inner(stage_idx: int):
 
 def main():
     if "--one" in sys.argv:
-        inner(int(sys.argv[sys.argv.index("--one") + 1]))
+        i = sys.argv.index("--one")
+        inner(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+              bool(int(sys.argv[i + 3])))
         return
     import json
     pairs = [(5, 0), (5, 1), (10, 0), (10, 1), (15, 0),
@@ -61,11 +65,10 @@ def main():
         pairs = json.loads(sys.argv[1])
     for chunk, unroll in pairs:
         for stage in (0, 1):
-            env = dict(_os.environ, PANGU_LON_CHUNK=str(chunk),
-                       PANGU_ATTN_UNROLL=str(unroll))
             p = subprocess.run(
-                [sys.executable, __file__, "--one", str(stage)],
-                capture_output=True, text=True, env=env)
+                [sys.executable, __file__, "--one", str(stage),
+                 str(chunk), str(unroll)],
+                capture_output=True, text=True)
             line = next((ln for ln in p.stdout.splitlines()
                          if ln.startswith("RESULT")), f"FAIL rc={p.returncode}")
             if "FAIL" in line:

@@ -58,12 +58,17 @@ def inner():
 
 def main():
     if "--one" in sys.argv:
+        i = sys.argv.index("--one")
+        if len(sys.argv) > i + 2:
+            import pangu_tpu.ops.updown as UD
+            UD._DOWN_G = int(sys.argv[i + 1])
+            UD._UP_G = int(sys.argv[i + 2])
         inner()
         return
     for dg, ug in [(13, 7), (91, 13), (91, 91)]:
-        env = dict(_os.environ, PANGU_DOWN_G=str(dg), PANGU_UP_G=str(ug))
-        p = subprocess.run([sys.executable, __file__, "--one"],
-                           capture_output=True, text=True, env=env)
+        p = subprocess.run([sys.executable, __file__, "--one",
+                            str(dg), str(ug)],
+                           capture_output=True, text=True)
         lines = [ln for ln in p.stdout.splitlines()
                  if ln.startswith("RESULT")]
         print(f"down_g={dg:2d} up_g={ug:2d}: "

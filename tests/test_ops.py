@@ -512,3 +512,40 @@ def test_down_up_sample_fused_match_xla(odd_h):
     for a, b in zip(jax.tree.leaves(gfu), jax.tree.leaves(gru)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("stage_idx", [0, 1])
+@pytest.mark.parametrize("depth", [2, 4])
+def test_run_stage_wm_matches_xla(stage_idx, depth):
+    """Window-major whole-stage kernels (ops/earth_block_wm.py: direct
+    window-row reads, 4-chunk z/lat stitch via index maps, roll+select
+    lat/lon interleave) == the XLA composition, both TINY geometries,
+    including the inverse-offset read after a shifted block (depth 4)."""
+    from pangu_tpu.config import TINY
+    from pangu_tpu.models import pangu
+    from pangu_tpu.ops.earth_block_wm import run_stage_wm
+
+    cfg = TINY
+    geom = cfg.stage(stage_idx)
+    params = pangu.init_params(jax.random.PRNGKey(stage_idx), cfg)
+    blocks = params["stages"][stage_idx]["blocks"]
+    stage_params = {"blocks": (blocks * 2)[:depth]}
+
+    x = jnp.asarray(RNG.normal(
+        size=(1, geom.z, geom.h, geom.w, geom.dim)).astype(np.float32))
+
+    want = _stage_xla_reference(stage_params, x, geom)
+    with pltpu.force_tpu_interpret_mode():
+        got = run_stage_wm(stage_params, x, geom)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
+
+
+def test_window_major_roundtrip():
+    from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                              to_window_major)
+    x = jnp.asarray(RNG.normal(size=(2, 4, 12, 24, 8)).astype(np.float32))
+    xs = to_window_major(x, (2, 6, 12))
+    assert xs.shape == (2, 2, 2, 2, 144, 8)
+    np.testing.assert_array_equal(
+        np.asarray(from_window_major(xs, (2, 6, 12))), np.asarray(x))
