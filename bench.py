@@ -102,11 +102,58 @@ def main():
         jax.block_until_ready(out)
         best = min(best, (time.perf_counter() - t0) / STEPS * 1e3)
 
+    # ---- secondary metric: COLD single 24h step (BASELINE.json config 1:
+    # "single 24h forecast step") — includes patch embed + recovery, which
+    # the token-space rollout legitimately amortises away. Fresh inputs
+    # every call so no dispatch result is cached.
+    from pangu_tpu.models.pangu import forward
+    step = jax.jit(lambda p, uu, ss: forward(p, uu, ss, constants, cfg))
+    u, s = fresh(100)
+    jax.block_until_ready(step(params, u, s))   # compile + warm
+    single = float("inf")
+    for t in range(3):
+        u, s = fresh(101 + t)
+        jax.block_until_ready((u, s))
+        t0 = time.perf_counter()
+        jax.block_until_ready(step(params, u, s))
+        single = min(single, (time.perf_counter() - t0) * 1e3)
+
+    # ---- secondary metric: batch-4 rollout throughput (steps/sec/chip,
+    # the BASELINE.json metric name) -------------------------------------
+    batch = 4
+    roll_b = make_rollout(cfg, constants, STEPS, token_space=True)
+
+    def fresh_b(seed):
+        r = np.random.default_rng(seed)
+        return (jnp.asarray(r.normal(size=(batch, cfg.upper_vars, cfg.levels,
+                                           cfg.lat, cfg.lon)
+                                     ).astype(np.float32)),
+                jnp.asarray(r.normal(size=(batch, cfg.surface_vars, cfg.lat,
+                                           cfg.lon)).astype(np.float32)))
+
+    ub, sb = fresh_b(200)
+    try:
+        jax.block_until_ready(roll_b(params, ub, sb))
+        bt = float("inf")
+        for t in range(2):
+            ub, sb = fresh_b(201 + t)
+            jax.block_until_ready((ub, sb))
+            t0 = time.perf_counter()
+            jax.block_until_ready(roll_b(params, ub, sb))
+            bt = min(bt, (time.perf_counter() - t0) / STEPS * 1e3)
+        batch4_sps = batch / (bt / 1e3)
+    except Exception as e:  # OOM at batch 4 would kill the primary metric
+        sys.stderr.write(f"[bench] batch-{batch} rollout failed: {e}\n")
+        batch4_sps = None
+
     print(json.dumps({
         "metric": "pangu24_forward_step_latency",
         "value": round(best, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / best, 3),
+        "single_step_cold_ms": round(single, 2),
+        "batch4_steps_per_sec_chip": (None if batch4_sps is None
+                                      else round(batch4_sps, 2)),
     }))
 
 

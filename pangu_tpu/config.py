@@ -102,12 +102,12 @@ class ModelConfig:
     attn_unroll: bool = False   # fully unroll the kernels' lon loop
     grid_bwd: str = "pallas"    # grid-attention backward: "pallas" (one
                                 # fused kernel) | "xla" (vjp composition)
-    block_layout: str = "v2"    # inter-block storage: "v2" (token grid,
-                                # rolled-coordinate kernels) | "wm"
-                                # (window-major, zero-relayout kernels;
-                                # wins per block but pays canonical<->wm
-                                # converters until embed/down/up/recovery
-                                # also speak window-major)
+    block_layout: str = "wm"    # inter-block storage: "wm" (window-major
+                                # between blocks; stage end-point kernels
+                                # read/write the canonical token grid and
+                                # relayout in VMEM, interior blocks are
+                                # zero-relayout) | "v2" (token grid,
+                                # rolled-coordinate kernels)
 
     def __post_init__(self):
         pz, ph, pw = self.patch

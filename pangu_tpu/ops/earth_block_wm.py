@@ -82,12 +82,18 @@ def from_window_major(xs, window):
 def _make_wm_kernel(heads: int, hd: int, window, nlon: int, c: int,
                     h_real: int, hp: int, dw: int, canon_add: int,
                     stitch: bool, has_mask: bool, fast_math: bool,
-                    has_drop: bool, chunk_target: Optional[int]):
+                    has_drop: bool, chunk_target: Optional[int],
+                    in_layout: str = "wm", out_layout: str = "wm"):
+    """in_layout/out_layout: "wm" (window-major storage rows) or "canon"
+    (token-grid (wz, wh, W, C) rows, v2 layout) — the stage's FIRST block
+    reads canonical and its LAST writes canonical, so the (wz,wh,W,C) <->
+    (nlon,N,C) relayout happens once per stage END-POINT inside the
+    kernels, never as an HBM round-trip converter."""
     wz, wh, ww = window
     n = wz * wh * ww
     scale = hd ** -0.5
     chunk = _lon_chunk(nlon, chunk_target)
-    n_x_refs = 4 if stitch else 1
+    n_x_refs = (4 if stitch else 1) if in_layout == "wm" else 1
 
     def kernel(*refs):
         xs = refs[:n_x_refs]
@@ -108,7 +114,21 @@ def _make_wm_kernel(heads: int, hd: int, window, nlon: int, c: int,
         qkv_s, attn_s = refs[i + 9:i + 11]           # VMEM scratch
 
         # ---- assemble (nlon, N, C), window coords for z/lat ------------
-        if stitch:
+        if in_layout == "canon":
+            # stage entry: canonical (wz, wh, W, C) rows, unshifted
+            # (delta == 0 — first block of a stage is never rolled), so
+            # the only work is the one in-VMEM window relayout the v2
+            # kernels pay on BOTH ends of every block
+            xc = xs[0][0]                               # (wz, wh, W, c)
+            if h_real < hp:
+                hh = pl.program_id(2)
+                lat_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (wz, wh, 1, 1), 1)
+                canon = jax.lax.rem(wh * hh + lat_iota + canon_add, hp)
+                xc = jnp.where(canon < h_real, xc, jnp.zeros_like(xc))
+            x = xc.reshape(wz, wh, nlon, ww, c).transpose(2, 0, 1, 3, 4)
+            x = x.reshape(nlon, n, c)
+        elif stitch:
             # 4 z-half chunks (nlon, N/2, C): [a, b] for window z-row 0
             # from lat-windows (ha, ha+1), [c, d] for z-row 1.  The lat
             # half-shift interleaves dh*ww-row runs: two sublane rolls +
@@ -145,7 +165,7 @@ def _make_wm_kernel(heads: int, hd: int, window, nlon: int, c: int,
                               jnp.roll(xp, -(ww + dw), axis=1))
 
         # ---- zero-synthesise latitude pad rows (layers.py:192) ---------
-        if h_real < hp:
+        if h_real < hp and in_layout == "wm":
             hh = pl.program_id(2)
             row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
             lat_loc = jax.lax.rem(jax.lax.div(row, ww), wh)
@@ -207,7 +227,14 @@ def _make_wm_kernel(heads: int, hd: int, window, nlon: int, c: int,
                       n2b_ref[...], w1_ref[...], b1_ref[...], w2_ref[...],
                       b2_ref[...], fast_math, s1, s2)
 
-        o_ref[0, 0, 0] = y.reshape(nlon, n, c).astype(o_ref.dtype)
+        if out_layout == "canon":
+            # stage exit: one in-VMEM relayout back to token-grid rows,
+            # written in this block's own (rolled) window coordinates —
+            # the caller's single stage-end roll restores canonical
+            y = y.reshape(nlon, wz, wh, ww, c).transpose(1, 2, 0, 3, 4)
+            o_ref[0] = y.reshape(wz, wh, nlon * ww, c).astype(o_ref.dtype)
+        else:
+            o_ref[0, 0, 0] = y.reshape(nlon, n, c).astype(o_ref.dtype)
 
     return kernel
 
@@ -215,24 +242,39 @@ def _make_wm_kernel(heads: int, hd: int, window, nlon: int, c: int,
 def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
                    canon_add: int, mask: Optional[jax.Array],
                    fast_math: bool, drop: Optional[jax.Array] = None,
-                   chunk_target: Optional[int] = None):
+                   chunk_target: Optional[int] = None,
+                   in_layout: str = "wm", out_layout: str = "wm"):
     """One whole block on window-major storage (B, nz, nlat, nlon, N, C).
 
     ``delta``: (dz, dh, dw) shift from storage coords to this block's
     window coords (window token (r_z, r_h, r_w) of window (zz, hh, l)
     reads storage token (wz*zz + r_z + dz, wh*hh + r_h + dh,
     ww*l + r_w + dw), modular).  dz in {-1, 0, 1}, dh in {-wh/2, 0, wh/2}.
+
+    ``in_layout``/``out_layout``: "wm" or "canon" — stage end-point blocks
+    read/write the canonical (B, Z, Hp, W, C) token grid directly and do
+    the window relayout in VMEM (see _make_wm_kernel).
     """
-    b, nz, nlat, nlon, n, c = xs.shape
     wz, wh, ww = geom.window
     heads = geom.heads
+    if in_layout == "canon":
+        b, z, hp, w, c = xs.shape
+        nz, nlat, nlon = z // wz, hp // wh, w // ww
+        n = wz * wh * ww
+        assert delta == (0, 0, 0), "canonical entry blocks are unshifted"
+    else:
+        b, nz, nlat, nlon, n, c = xs.shape
+        hp = nlat * wh
     hd = c // heads
-    hp = nlat * wh
     dz, dh, dw = delta
-    stitch = dz != 0 or dh != 0
+    stitch = (dz != 0 or dh != 0) and in_layout == "wm"
     assert n == wz * wh * ww
 
-    if stitch:
+    if in_layout == "canon":
+        x_specs = [pl.BlockSpec((1, wz, wh, nlon * ww, c),
+                                lambda bb, zz, hh: (bb, zz, hh, 0, 0),
+                                memory_space=pltpu.VMEM)]
+    elif stitch:
         # four (nlon, N/2, C) z-half chunks: window z-row rz reads source
         # z-window ((wz*zz + rz + dz) // wz) % nz, local z (rz+dz) % wz =
         # n-block 1-rz for dz=+-1; its lat rows come from lat-windows
@@ -298,9 +340,16 @@ def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
                  fullspec((c,)), fullspec((c, hidden)), fullspec((hidden,)),
                  fullspec((hidden, c)), fullspec((c,))]
 
-    out_spec = pl.BlockSpec((1, 1, 1, nlon, n, c),
-                            lambda bb, zz, hh: (bb, zz, hh, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    if out_layout == "canon":
+        out_spec = pl.BlockSpec((1, wz, wh, nlon * ww, c),
+                                lambda bb, zz, hh: (bb, zz, hh, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (b, nz * wz, nlat * wh, nlon * ww, c)
+    else:
+        out_spec = pl.BlockSpec((1, 1, 1, nlon, n, c),
+                                lambda bb, zz, hh: (bb, zz, hh, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = (b, nz, nlat, nlon, n, c)
 
     scratch = [pltpu.VMEM((nlon, n, 3 * c), dt),
                pltpu.VMEM((nlon, n, c), dt)]
@@ -308,8 +357,9 @@ def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
     return pl.pallas_call(
         _make_wm_kernel(heads, hd, geom.window, nlon, c, geom.h, hp, dw,
                         canon_add, stitch, mask is not None, fast_math,
-                        drop is not None, chunk_target),
-        out_shape=jax.ShapeDtypeStruct(xs.shape, dt),
+                        drop is not None, chunk_target,
+                        in_layout=in_layout, out_layout=out_layout),
+        out_shape=jax.ShapeDtypeStruct(out_shape, dt),
         grid=(b, nz, nlat),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -327,18 +377,26 @@ def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
 
 def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
                  chunk_target: Optional[int] = None):
-    """Run one EarthSpecificLayer entirely in window-major whole-block
-    kernels.  x: canonical (B, Z, H, W, C); returns the same."""
+    """Run one EarthSpecificLayer in window-major whole-block kernels.
+
+    x: canonical (B, Z, H, W, C); returns the same.  The stage's first
+    block reads the canonical grid and writes window-major; interior
+    blocks are pure window-major (zero relayout); the last block reads
+    window-major and writes the canonical grid in its own rolled window
+    coordinates, fixed by ONE stage-end roll + crop — so the
+    (wz,wh,W,C) <-> (nlon,N,C) relayout runs exactly twice per stage,
+    in VMEM, never as an HBM round trip."""
     wz, wh, ww = geom.window
     B, Z, H, W, C = x.shape
     hp = geom.h_padded
-    xg = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
-    xs = to_window_major(xg, geom.window)
+    xs = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
     half = (wz // 2, wh // 2, ww // 2)
     off = (0, 0, 0)
     mask = None
+    blocks = stage_params["blocks"]
+    nb = len(blocks)
 
-    for j, bp in enumerate(stage_params["blocks"]):
+    for j, bp in enumerate(blocks):
         shifted = (j % 2 == 1)
         target = half if shifted else (0, 0, 0)
         delta = tuple(t - o for t, o in zip(target, off))
@@ -347,10 +405,11 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
             mask = jnp.asarray(window_region_ids(Z, hp, geom.window))
         xs = _block_wm_call(bp, xs, geom, delta, canon_add=target[1],
                             mask=mask if shifted else None,
-                            fast_math=fast_math, chunk_target=chunk_target)
+                            fast_math=fast_math, chunk_target=chunk_target,
+                            in_layout="canon" if j == 0 else "wm",
+                            out_layout="canon" if j == nb - 1 else "wm")
         off = target
 
-    xg = from_window_major(xs, geom.window)
     if off != (0, 0, 0):
-        xg = jnp.roll(xg, off, axis=(1, 2, 3))
-    return xg[:, :, :H]
+        xs = jnp.roll(xs, off, axis=(1, 2, 3))
+    return xs[:, :, :H]
