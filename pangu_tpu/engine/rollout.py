@@ -86,11 +86,60 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
                                    precision=precision)
         return recover(x_cat)
 
+    def rollout_tokens_wm(params, upper, surface, constants):
+        """All-window-major chained rollout: the token state never exists
+        in canonical layout between steps — stage chains, down/up and the
+        recovery->embed transition all read/write wm storage directly
+        (pangu.forward_core_wm + engine/transition_wm)."""
+        from pangu_tpu.engine.transition_wm import (apply_transition_wm,
+                                                    build_transition_wm)
+        from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                                  to_window_major)
+
+        geom = cfg.stage(0)
+        tp = build_transition_wm(params, constants, cfg)
+        cdt = jnp.dtype(cfg.compute_dtype)
+        x = L.patch_embed(params["patch_embed"], upper.astype(cdt),
+                          surface.astype(cdt), constants, cfg, precision)
+        xs = to_window_major(
+            jnp.pad(x, ((0, 0), (0, 0), (0, geom.h_padded - x.shape[2]),
+                        (0, 0), (0, 0))), geom.window)
+
+        def recover(x_cat):
+            out_u, out_s = L.patch_recovery(params["patch_recovery"], x_cat,
+                                            cfg, precision)
+            return denorm_data(out_u, out_s, constants)
+
+        def canon(t, off):
+            t = from_window_major(t, geom.window)
+            return jnp.roll(t, off, axis=(1, 2, 3))[:, :, :geom.h]
+
+        def body(xs, _):
+            skip, dec, off = pangu.forward_core_wm(params, xs, cfg)
+            nxt = apply_transition_wm(tp, skip, dec, geom, off)
+            if return_trajectory:
+                out = recover((canon(skip, off), canon(dec, off)))
+            return nxt, (out if return_trajectory else None)
+
+        if return_trajectory:
+            _, traj = jax.lax.scan(body, xs, None, length=steps)
+            final = jax.tree.map(lambda a: a[-1], traj)
+            return final, traj
+        xs, _ = jax.lax.scan(body, xs, None, length=steps - 1)
+        skip, dec, off = pangu.forward_core_wm(params, xs, cfg)
+        return recover((canon(skip, off), canon(dec, off)))
+
+    def rollout_tokens_dispatch(params, upper, surface, constants):
+        # structural, trace-time choice: all-wm chain when supported
+        if pangu.wm_core_supported(params, cfg):
+            return rollout_tokens_wm(params, upper, surface, constants)
+        return rollout_tokens(params, upper, surface, constants)
+
     # constants enter the jit as a traced ARGUMENT: closing over the
     # device arrays would inline the ~67 MB const_h/mask fields as
     # literals into the compiled program (134 MB MLIR, enough to OOM the
     # TPU compile helper)
-    jitted = jax.jit(rollout_tokens if token_space else rollout,
+    jitted = jax.jit(rollout_tokens_dispatch if token_space else rollout,
                      donate_argnums=(1, 2))
     return lambda params, upper, surface: jitted(params, upper, surface,
                                                  constants)

@@ -198,6 +198,11 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
             # path below so losses match bit-for-bit across paths
             drops = _stage_drops(len(stage_params["blocks"]), rates, offset,
                                  rng, x.shape[0])
+            if cfg.block_layout == "wm":
+                from pangu_tpu.ops.earth_block_bwd import run_stage_train_wm
+                return run_stage_train_wm(stage_params, x, geom, drops,
+                                          fast_math=cfg.fast_math,
+                                          chunk_target=cfg.lon_chunk)
             return run_stage_train(stage_params, x, geom, drops,
                                    fast_math=cfg.fast_math,
                                    chunk_target=cfg.lon_chunk,
@@ -256,6 +261,11 @@ def _maybe_run_stages12_merged(s1, s2, x, cfg: ModelConfig, rng1, rng2,
                           rng1, B)
              + _stage_drops(len(s2["blocks"]), rates, sum(cfg.depths[:2]),
                             rng2, B))
+    if cfg.block_layout == "wm":
+        from pangu_tpu.ops.earth_block_bwd import run_stage_train_wm
+        return run_stage_train_wm(combined, x, geom, drops,
+                                  fast_math=cfg.fast_math,
+                                  chunk_target=cfg.lon_chunk)
     return run_stage_train(combined, x, geom, drops,
                            fast_math=cfg.fast_math,
                            chunk_target=cfg.lon_chunk,
@@ -329,6 +339,59 @@ def forward_core(params, x, cfg: ModelConfig, *,
                                  precision=precision))
 
     return skip, x
+
+
+def wm_core_supported(params, cfg: ModelConfig) -> bool:
+    """True when the all-window-major trunk (forward_core_wm) applies:
+    pallas wm kernels, no LoRA leaves anywhere on the trunk, even stage
+    depths (so every stage ends at the same half-window offset), and a
+    single-device mesh (the wm kernels are not shard_mapped)."""
+    from pangu_tpu.ops.earth_block_fused import stage_supports_fused
+    from pangu_tpu.parallel.sharding import multi_device_mesh_active
+    if cfg.attn_impl != "pallas" or cfg.block_layout != "wm":
+        return False
+    if multi_device_mesh_active():
+        return False
+    if any(d % 2 for d in cfg.depths):
+        return False
+    if not all(stage_supports_fused(s) for s in params["stages"]):
+        return False
+    return not ("lora_a" in params["downsample"]["reduce"]
+                or "lora_a" in params["upsample"]["expand"]
+                or "lora_a" in params["upsample"]["mix"])
+
+
+def forward_core_wm(params, xs, cfg: ModelConfig):
+    """The encoder/decoder trunk entirely in window-major storage: stage
+    chains keep wm io (zero relayout), DownSample/UpSample consume the
+    rolled storage directly (ops/updown_wm.py) and the stage-end rolls
+    never materialise.  ``xs``: stage-0 wm entry storage in canonical
+    coordinates (B, nz, nlat, nlon, N, C).  Returns
+    ``(skip_wm, dec_wm, off)`` — the pre-recovery pair, each still rolled
+    by ``off`` (the autoregressive transition and the recovery fold the
+    roll-back into their own reads).  Gate with :func:`wm_core_supported`.
+
+    Same component order as the reference trunk
+    (/root/reference/models/pangu_model.py:56-84)."""
+    from pangu_tpu.ops.earth_block_wm import run_stage_wm
+    from pangu_tpu.ops.updown_wm import down_sample_wm, up_sample_wm
+
+    g0, g1 = cfg.stage(0), cfg.stage(1)
+    g2, g3 = cfg.stage(2), cfg.stage(3)
+    kw = dict(fast_math=cfg.fast_math, chunk_target=cfg.lon_chunk,
+              io_layout="wm")
+
+    skip, off0 = run_stage_wm(params["stages"][0], xs, g0, **kw)
+    x = down_sample_wm(params["downsample"], skip, g0, g1, off0,
+                       fast_math=cfg.fast_math)
+    combined = {"blocks": (list(params["stages"][1]["blocks"])
+                           + list(params["stages"][2]["blocks"]))}
+    x, off12 = run_stage_wm(combined, x, g1, **kw)
+    x = up_sample_wm(params["upsample"], x, g2, g3, off12,
+                     fast_math=cfg.fast_math)
+    dec, off3 = run_stage_wm(params["stages"][3], x, g3, **kw)
+    assert off0 == off3, "even depths keep skip and decoder in step"
+    return skip, dec, off3
 
 
 def forward(params, upper, surface, constants, cfg: ModelConfig, *,

@@ -376,20 +376,32 @@ def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
 
 
 def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
-                 chunk_target: Optional[int] = None):
+                 chunk_target: Optional[int] = None,
+                 io_layout: str = "canon"):
     """Run one EarthSpecificLayer in window-major whole-block kernels.
 
-    x: canonical (B, Z, H, W, C); returns the same.  The stage's first
-    block reads the canonical grid and writes window-major; interior
-    blocks are pure window-major (zero relayout); the last block reads
-    window-major and writes the canonical grid in its own rolled window
-    coordinates, fixed by ONE stage-end roll + crop — so the
-    (wz,wh,W,C) <-> (nlon,N,C) relayout runs exactly twice per stage,
-    in VMEM, never as an HBM round trip."""
+    ``io_layout="canon"`` (default): x is canonical (B, Z, H, W, C) and
+    the same comes back.  The stage's first block reads the canonical
+    grid and writes window-major; interior blocks are pure window-major
+    (zero relayout); the last block reads window-major and writes the
+    canonical grid in its own rolled window coordinates, fixed by ONE
+    stage-end roll + crop — so the (wz,wh,W,C) <-> (nlon,N,C) relayout
+    runs exactly twice per stage, in VMEM, never as an HBM round trip.
+
+    ``io_layout="wm"``: x is window-major entry storage in canonical
+    coordinates (as written by ops/updown_wm or engine/transition_wm);
+    returns the ROLLED window-major storage plus the final coordinate
+    offset as ``(xs, off)`` — no canonicalisation at all (the consumer
+    folds ``off`` into its own stitch reads)."""
     wz, wh, ww = geom.window
-    B, Z, H, W, C = x.shape
     hp = geom.h_padded
-    xs = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
+    wm_io = io_layout == "wm"
+    if wm_io:
+        xs = x
+        Z = xs.shape[1] * wz
+    else:
+        B, Z, H, W, C = x.shape
+        xs = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
     half = (wz // 2, wh // 2, ww // 2)
     off = (0, 0, 0)
     mask = None
@@ -406,10 +418,13 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
         xs = _block_wm_call(bp, xs, geom, delta, canon_add=target[1],
                             mask=mask if shifted else None,
                             fast_math=fast_math, chunk_target=chunk_target,
-                            in_layout="canon" if j == 0 else "wm",
-                            out_layout="canon" if j == nb - 1 else "wm")
+                            in_layout="wm" if (wm_io or j > 0) else "canon",
+                            out_layout="wm" if (wm_io or j < nb - 1)
+                            else "canon")
         off = target
 
+    if wm_io:
+        return xs, off
     if off != (0, 0, 0):
         xs = jnp.roll(xs, off, axis=(1, 2, 3))
     return xs[:, :, :H]

@@ -1,0 +1,291 @@
+"""Window-major DownSample / UpSample kernels: consume the previous
+stage's window-major ROLLED storage directly and emit the next stage's
+window-major entry storage.
+
+With the mixed-layout block chains (ops/earth_block_wm.py) the stage
+boundaries were the last place the canonical token grid materialised:
+exit block relayout -> stage-end jnp.roll -> crop -> lat pad -> down/up
+kernel -> next stage entry relayout.  These kernels collapse all of it:
+
+  * the stage-end roll-back is index arithmetic (the same modular
+    4/6-chunk stitch reads the block kernels use for shifted windows);
+  * the latitude crop + re-pad is zero-synthesis on read plus an output
+    row mask (reference re-pads zeros, models/layers.py:429,469);
+  * the 2x2 space-to-depth gather / depth-to-space scatter happens on
+    VMEM tiles between the stitch-read and the LN+matmul;
+  * the output is written directly in the next stage's window-major
+    layout, so the next entry block reads with ZERO relayout.
+
+Reference semantics: DownSample /root/reference/models/layers.py:423-459
+(merge order (h_off, w_off, C), LN(4C) then (4C->2C) reduction),
+UpSample layers.py:461-499 ((2C->4C') expand, depth-to-space, crop,
+LN(C'), (C'->C') mix).  Inference/rollout path only — the training chain
+keeps canonical stage boundaries and ops/updown.py's custom_vjp kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pangu_tpu.ops.block_tail import _kernel_ln
+
+
+def _lon_unroll(x, ww: int, dw: int):
+    """Canonical lon v reads storage lon v+dw (dw<0 for roll-back) on a
+    (nlon, rows, C) tile with rows (…, lon)-major — two sublane rolls and
+    a select, as in the wm block kernels."""
+    if dw == 0:
+        return x
+    rows = x.shape[1]
+    w_in_run = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0), ww)
+    if dw > 0:
+        xn = jnp.roll(x, -1, axis=0)
+        return jnp.where(w_in_run < ww - dw,
+                         jnp.roll(x, -dw, axis=1),
+                         jnp.roll(xn, ww - dw, axis=1))
+    xp = jnp.roll(x, 1, axis=0)
+    return jnp.where(w_in_run >= -dw,
+                     jnp.roll(x, -dw, axis=1),
+                     jnp.roll(xp, -(ww + dw), axis=1))
+
+
+# ---------------------------------------------------------------------------
+# DownSample (stage0 wm rolled -> stage1 wm canonical)
+# ---------------------------------------------------------------------------
+
+def _make_down_wm_kernel(window, nlon0: int, nlon1: int, c: int,
+                         h_in: int, h_out: int, off, fast_math: bool):
+    wz, wh, ww = window
+    n = wz * wh * ww
+    half = n // 2                                # rows per z-half chunk
+    dwo = -off[2]
+
+    def kernel(*refs):
+        xs = refs[:6]                            # 2 z-parts x 3 lat wins
+        ns_ref, nb_ref, wr_ref, o_ref, cat_s = refs[6:]
+        hh = pl.program_id(2)
+
+        lat_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (2 * wh * ww, 1), 0) // ww   # input lat 0..2wh-1
+
+        for rz in range(2):
+            chunks = [xs[rz * 3 + k][0, 0, 0] for k in range(3)]
+            lat3 = jnp.concatenate(chunks, axis=1)   # (nlon0, 3*half? ...)
+            # canonical input lats 2*wh*hh .. +2wh-1 start at local row
+            # off[1] of the first window (static: 2*wh*hh - off[1] ==
+            # wh*(2hh-1) + (wh - off[1]))
+            start = (wh - off[1]) % wh
+            lat12 = lat3[:, start * ww:(start + 2 * wh) * ww]
+            lat12 = _lon_unroll(lat12, ww, dwo)      # (nlon0, 2wh*ww, c)
+            # zero-synthesise lat pad rows (canonical lat >= h_in)
+            lat_in = 2 * wh * hh + lat_iota
+            lat12 = jnp.where(lat_in[None] < h_in, lat12,
+                              jnp.zeros_like(lat12))
+            # 2x2 space-to-depth: [lp, wi, k, ho, wp, wo, C] with
+            # out row = k*ww + wi*(ww//2) + wp, feature (ho, wo, C)
+            # (merge order of reference models/layers.py:449-451)
+            t = lat12.reshape(nlon1, 2, wh, 2, ww // 2, 2, c)
+            t = t.transpose(3, 5, 0, 2, 1, 4, 6)
+            for ho in range(2):
+                for wo in range(2):
+                    part = t[ho, wo].reshape(nlon1, wh * ww, c)
+                    cat_s[rz, :, :, (ho * 2 + wo) * c:
+                          (ho * 2 + wo + 1) * c] = part
+
+        cat = _kernel_ln(cat_s[...].reshape(2 * nlon1 * wh * ww, 4 * c),
+                         ns_ref[...], nb_ref[...], fast_math)
+        y = jax.lax.dot_general(cat, wr_ref[...], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = y.astype(o_ref.dtype).reshape(2, nlon1, wh * ww, 2 * c)
+        y = y.transpose(1, 0, 2, 3).reshape(nlon1, n, 2 * c)
+        # output pad rows (downsampled lat >= h_out) are REAL zeros — the
+        # next stage reads them as the zero lat-pad (layers.py:192)
+        row = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        lat_out = wh * hh + jax.lax.rem(jax.lax.div(row, ww), wh)
+        y = jnp.where(lat_out[None] < h_out, y, jnp.zeros_like(y))
+        o_ref[0, 0, 0] = y
+
+    return kernel
+
+
+def down_sample_wm(p, xs, geom0, geom1, off: Tuple[int, int, int],
+                   *, fast_math: bool = False):
+    """xs: (B, nz, nlat0, nlon0, N, C) window-major storage holding the
+    canonical token t + off at position t (a stage that ended shifted);
+    geom0/geom1 the stage geometries around the DownSample.  Returns
+    (B, nz, nlat1, nlon1, N, 2C) window-major next-stage entry storage in
+    canonical coordinates, pad rows zeroed."""
+    b, nz, nlat0, nlon0, n, c = xs.shape
+    wz, wh, ww = geom0.window
+    nlat1 = geom1.h_padded // wh
+    nlon1 = geom1.w // ww
+    dt = xs.dtype
+
+    def chunk_spec(rz, k):
+        def imap(bb, zz, hh, rz=rz, k=k):
+            return (bb,
+                    ((wz * zz + rz - off[0]) // wz) % nz,
+                    ((2 * wh * hh - off[1]) // wh + k) % nlat0,
+                    0, (rz - off[0]) % wz, 0)
+        return pl.BlockSpec((1, 1, 1, nlon0, n // wz, c), imap,
+                            memory_space=pltpu.VMEM)
+
+    x_specs = [chunk_spec(rz, k) for rz in range(2) for k in range(3)]
+
+    def fullspec(shape):
+        return pl.BlockSpec(shape, lambda bb, zz, hh: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    ns = p["norm"]["scale"].astype(dt)
+    nb = p["norm"]["bias"].astype(dt)
+    wr = p["reduce"]["kernel"].astype(dt)
+
+    out_spec = pl.BlockSpec((1, 1, 1, nlon1, n, 2 * c),
+                            lambda bb, zz, hh: (bb, zz, hh, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _make_down_wm_kernel(geom0.window, nlon0, nlon1, c, geom0.h,
+                             geom1.h, off, fast_math),
+        out_shape=jax.ShapeDtypeStruct((b, nz, nlat1, nlon1, n, 2 * c), dt),
+        grid=(b, nz, nlat1),
+        in_specs=x_specs + [fullspec(ns.shape), fullspec(nb.shape),
+                            fullspec(wr.shape)],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((2, nlon1, wh * ww, 4 * c), dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nz * nlat1 * nlon1 * n * 4 * c * 2 * c,
+            bytes_accessed=int(2 * xs.size * dt.itemsize),
+            transcendentals=0),
+    )(*([xs] * 6 + [ns, nb, wr]))
+
+
+# ---------------------------------------------------------------------------
+# UpSample (stage2 wm rolled -> stage3 wm canonical)
+# ---------------------------------------------------------------------------
+
+def _make_up_wm_kernel(window, nlon_in: int, nlon_out: int, c_in: int,
+                       c_out: int, h_in: int, off, fast_math: bool):
+    wz, wh, ww = window
+    n = wz * wh * ww
+    dwo = -off[2]
+    lat_rows = (wh // 2) * ww                    # 3 input lats per window
+
+    def kernel(*refs):
+        xs = refs[:2]                            # one z-half chunk per part
+        we_ref, ns_ref, nb_ref, wm_ref, o_ref, e_s = refs[2:]
+        hh = pl.program_id(2)
+
+        # input canonical lats (wh//2)*hh .. +wh//2-1 live at local row
+        # (wh//2*hh - off1) mod wh of window ((wh//2*hh - off1)//wh):
+        # start is 0 or wh//2 depending on hh parity -> read both halves
+        # of the window and select (static slices + one where)
+        # floor mod (Python % on the traced id), NOT lax.rem — the
+        # numerator goes negative at hh=0 when the storage is rolled
+        start_is_hi = (((wh // 2) * hh - off[1]) % wh) // (wh // 2)
+        lat_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (lat_rows, 1), 0) // ww
+
+        for rz in range(2):
+            chunk = xs[rz][0, 0, 0]              # (nlon_in, n//wz, c_in)
+            lo = chunk[:, :lat_rows]
+            hi = chunk[:, lat_rows:]
+            x3 = jnp.where(start_is_hi == 0, lo, hi)
+            x3 = _lon_unroll(x3, ww, dwo)        # (nlon_in, lat_rows, c_in)
+            lat_in = (wh // 2) * hh + lat_iota
+            x3 = jnp.where(lat_in[None] < h_in, x3, jnp.zeros_like(x3))
+            e = jax.lax.dot_general(
+                x3.reshape(nlon_in * lat_rows, c_in), we_ref[...],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            e_s[rz] = e.astype(o_ref.dtype).reshape(nlon_in, lat_rows,
+                                                    4 * c_out)
+
+        # depth-to-space: e [iw, k, w, (ho, wo, C)] ->
+        # out [l=2iw+wi, ko=2k+ho, wglob=2wl+wo] (layers.py:481-489)
+        parts = []
+        for rz in range(2):
+            # rows (k, w) with w -> (wi, wl); features (ho, wo, C)
+            # (reference depth-to-space order, models/layers.py:481-489)
+            e = e_s[rz].reshape(nlon_in, wh // 2, 2, ww // 2, 2, 2, c_out)
+            t = e.transpose(0, 2, 1, 4, 3, 5, 6)
+            # [iw, wi, k, ho, wl, wo, C]: out window l = 2*iw + wi, out
+            # row (2k+ho)*ww + 2*wl + wo — exactly the flatten order
+            parts.append(t.reshape(nlon_out, wh * ww, c_out))
+        y = jnp.concatenate([parts[0], parts[1]], axis=1)  # z-major rows
+
+        yf = _kernel_ln(y.reshape(nlon_out * n, c_out), ns_ref[...],
+                        nb_ref[...], fast_math)
+        yf = jax.lax.dot_general(yf, wm_ref[...], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o_ref[0, 0, 0] = yf.astype(o_ref.dtype).reshape(nlon_out, n, c_out)
+
+    return kernel
+
+
+def up_sample_wm(p, xs, geom2, geom3, off: Tuple[int, int, int],
+                 *, fast_math: bool = False):
+    """xs: (B, nz, nlat2, nlon2, N, C2) rolled wm storage of the deep
+    stage; returns (B, nz, nlat3, nlon3, N, C3) window-major stage-3
+    entry storage in canonical coordinates (lat pad rows carry junk that
+    the consumer zero-synthesises away, exactly like block outputs)."""
+    b, nz, nlat2, nlon2, n, c_in = xs.shape
+    wz, wh, ww = geom2.window
+    c_out = p["expand"]["kernel"].shape[-1] // 4
+    nlat3 = geom3.h_padded // wh
+    nlon3 = geom3.w // ww
+    dt = xs.dtype
+
+    def chunk_spec(rz):
+        def imap(bb, zz, hh, rz=rz):
+            return (bb,
+                    ((wz * zz + rz - off[0]) // wz) % nz,
+                    (((wh // 2) * hh - off[1]) // wh) % nlat2,
+                    0, (rz - off[0]) % wz, 0)
+        return pl.BlockSpec((1, 1, 1, nlon2, n // wz, c_in), imap,
+                            memory_space=pltpu.VMEM)
+
+    # the wh//2 input lats of one output window never cross a lat-window
+    # boundary (start ≡ 0 or wh/2 mod wh), so ONE chunk per z-part
+    x_specs = [chunk_spec(0), chunk_spec(1)]
+
+    def fullspec(shape):
+        return pl.BlockSpec(shape, lambda bb, zz, hh: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    we = p["expand"]["kernel"].astype(dt)
+    ns = p["norm"]["scale"].astype(dt)
+    nb = p["norm"]["bias"].astype(dt)
+    wm = p["mix"]["kernel"].astype(dt)
+
+    out_spec = pl.BlockSpec((1, 1, 1, nlon3, n, c_out),
+                            lambda bb, zz, hh: (bb, zz, hh, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _make_up_wm_kernel(geom2.window, nlon2, nlon3, c_in, c_out,
+                           geom2.h, off, fast_math),
+        out_shape=jax.ShapeDtypeStruct((b, nz, nlat3, nlon3, n, c_out), dt),
+        grid=(b, nz, nlat3),
+        in_specs=x_specs + [fullspec(we.shape), fullspec(ns.shape),
+                            fullspec(nb.shape), fullspec(wm.shape)],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((2, nlon2, (wh // 2) * ww, 4 * c_out),
+                                   dt)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nz * nlat2 * nlon2 * n * c_in * 4 * c_out,
+            bytes_accessed=int(2 * xs.size * dt.itemsize),
+            transcendentals=0),
+    )(*([xs] * 2 + [we, ns, nb, wm]))

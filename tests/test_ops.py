@@ -549,3 +549,152 @@ def test_window_major_roundtrip():
     assert xs.shape == (2, 2, 2, 2, 144, 8)
     np.testing.assert_array_equal(
         np.asarray(from_window_major(xs, (2, 6, 12))), np.asarray(x))
+
+
+@pytest.mark.parametrize("stage_idx,depth", [(0, 2), (1, 4)])
+def test_run_stage_train_wm_matches_xla_with_drop_scales(stage_idx, depth):
+    """Whole-block BACKWARD kernel chain (ops/earth_block_bwd.py —
+    mixed-layout wm primal, one-kernel-per-block backward, cotangent
+    chain carrying coordinate offsets): value AND all gradients must
+    match the XLA composition with the same stochastic-depth scales."""
+    from pangu_tpu.config import TINY
+    from pangu_tpu.models import pangu
+    from pangu_tpu.ops.earth_block_bwd import run_stage_train_wm
+
+    cfg = TINY
+    geom = cfg.stage(stage_idx)
+    params = pangu.init_params(jax.random.PRNGKey(stage_idx), cfg)
+    blocks = params["stages"][stage_idx]["blocks"]
+    stage_params = {"blocks": (blocks * 2)[:depth]}
+    B = 2
+    rng = np.random.default_rng(91 + 10 * stage_idx + depth)
+    drops = [jnp.asarray(rng.choice([0.0, 0.8, 1.25], size=(B, 2))
+                         .astype(np.float32)) for _ in range(depth)]
+
+    x = jnp.asarray(rng.normal(
+        size=(B, geom.z, geom.h, geom.w, geom.dim)).astype(np.float32))
+
+    def ref_chain(sp, xx):
+        y = xx
+        for j, bp in enumerate(sp["blocks"]):
+            roll = j % 2 == 1
+            s1 = drops[j][:, 0].reshape(B, 1, 1, 1, 1)
+            s2 = drops[j][:, 1].reshape(B, 1, 1, 1, 1)
+            shortcut = y
+            hp = geom.h_padded
+            xp = jnp.pad(y, ((0, 0), (0, 0), (0, hp - geom.h),
+                             (0, 0), (0, 0)))
+            mask = None
+            if roll:
+                xp = jnp.roll(xp, (-1, -3, -6), axis=(1, 2, 3))
+                ids = jnp.asarray(L.window_region_ids(geom.z, hp,
+                                                      geom.window))
+                mask = jnp.where(ids[:, None, :] != ids[:, :, None],
+                                 jnp.float32(-100.0), jnp.float32(0.0))
+            win = L.window_partition(xp, geom.window)
+            win = L.earth_attention(bp["attn"], win, geom.heads, mask)
+            xp = L.window_reverse(win, geom.window, geom.z, hp, geom.w)
+            if roll:
+                xp = jnp.roll(xp, (1, 3, 6), axis=(1, 2, 3))
+            y2 = xp[:, :, :geom.h]
+            y = shortcut + s1 * L.layer_norm(bp["norm1"], y2)
+            y = y + s2 * L.layer_norm(bp["norm2"], L.mlp(bp["mlp"], y))
+        return y
+
+    def loss_fused(sp, xx):
+        return jnp.sum(run_stage_train_wm(sp, xx, geom, drops) ** 2)
+
+    def loss_ref(sp, xx):
+        return jnp.sum(ref_chain(sp, xx) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        vf, gf = jax.value_and_grad(loss_fused, argnums=(0, 1))(
+            stage_params, x)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1))(stage_params, x)
+
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    # per-leaf comparison scaled by the leaf's max magnitude — the right
+    # metric for fp32 gradient sums whose elementwise rounding differs
+    # with reduction order (kernel accumulators vs XLA fusion order)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_r = jax.tree.leaves(gr)
+    assert len(flat_f) == len(flat_r)
+    for (path, a), b in zip(flat_f, flat_r):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(1.0, float(np.max(np.abs(b))))
+        d = float(np.max(np.abs(a - b)))
+        assert d <= 2e-5 * scale, (
+            f"{jax.tree_util.keystr(path)}: maxdiff {d:.3e} vs "
+            f"scale {scale:.3e}")
+
+
+def test_down_up_sample_wm_match_xla():
+    """Window-major DownSample/UpSample kernels (ops/updown_wm.py):
+    consume rolled wm storage (roll-back + crop + re-pad folded into the
+    stitch index maps and masks) and emit the next stage's wm entry
+    storage; must match pad->roll->crop->L.down_sample/up_sample."""
+    from pangu_tpu.config import TINY
+    from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                              to_window_major)
+    from pangu_tpu.ops.updown_wm import down_sample_wm, up_sample_wm
+
+    cfg = TINY
+    g0, g1 = cfg.stage(0), cfg.stage(1)
+    g2, g3 = cfg.stage(2), cfg.stage(3)
+    rng = np.random.default_rng(7)
+    off = (1, 3, 6)
+    B = 2
+
+    def rolled_wm_storage(x, geom):
+        """Simulate a stage that ended shifted: pad with JUNK rows (the
+        exit blocks write garbage in the lat pad), roll by -off."""
+        hp = geom.h_padded
+        junk = jnp.asarray(rng.normal(
+            size=(x.shape[0], x.shape[1], hp - x.shape[2], x.shape[3],
+                  x.shape[4])).astype(np.float32)) * 100.0
+        xp = jnp.concatenate([x, junk], axis=2)
+        return to_window_major(jnp.roll(xp, (-off[0], -off[1], -off[2]),
+                                        axis=(1, 2, 3)), geom.window)
+
+    # ---- down ----------------------------------------------------------
+    C = g0.dim
+    x = jnp.asarray(rng.normal(
+        size=(B, g0.z, g0.h, g0.w, C)).astype(np.float32))
+    pd = {
+        "norm": {"scale": jnp.asarray(rng.normal(size=4 * C)
+                                      .astype(np.float32)),
+                 "bias": jnp.asarray(rng.normal(size=4 * C)
+                                     .astype(np.float32))},
+        "reduce": {"kernel": jnp.asarray(
+            rng.normal(size=(4 * C, 2 * C)).astype(np.float32) * 0.1)},
+    }
+    want = L.down_sample(pd, x)                      # (B, Z, h1, w1, 2C)
+    want = jnp.pad(want, ((0, 0), (0, 0), (0, g1.h_padded - g1.h),
+                          (0, 0), (0, 0)))
+    want = to_window_major(want, g1.window)
+    with pltpu.force_tpu_interpret_mode():
+        got = down_sample_wm(pd, rolled_wm_storage(x, g0), g0, g1, off)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+    # ---- up ------------------------------------------------------------
+    C2, C3 = g2.dim, g3.dim
+    xu = jnp.asarray(rng.normal(
+        size=(B, g2.z, g2.h, g2.w, C2)).astype(np.float32))
+    pu = {
+        "expand": {"kernel": jnp.asarray(
+            rng.normal(size=(C2, 4 * C3)).astype(np.float32) * 0.1)},
+        "norm": {"scale": jnp.asarray(rng.normal(size=C3)
+                                      .astype(np.float32)),
+                 "bias": jnp.asarray(rng.normal(size=C3)
+                                     .astype(np.float32))},
+        "mix": {"kernel": jnp.asarray(
+            rng.normal(size=(C3, C3)).astype(np.float32) * 0.1)},
+    }
+    want_u = L.up_sample(pu, xu, g3.h)               # (B, Z, h3, w3, C3)
+    with pltpu.force_tpu_interpret_mode():
+        got_u = up_sample_wm(pu, rolled_wm_storage(xu, g2), g2, g3, off)
+    got_u = from_window_major(got_u, g3.window)[:, :, :g3.h]
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               atol=2e-4, rtol=1e-4)

@@ -63,3 +63,67 @@ def test_token_space_rollout_matches_standard(trajectory):
         assert x.shape == y.shape
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=5e-3, rtol=1e-3)
+
+
+def test_transition_wm_matches_apply_transition():
+    """Window-major transition kernel (engine/transition_wm.py): stitched
+    reads of the ROLLED skip/decoder wm storage + per-program token-type
+    matmuls must equal apply_transition on the canonical pair."""
+    from jax.experimental.pallas import tpu as pltpu
+    from pangu_tpu.engine.transition_wm import (apply_transition_wm,
+                                                build_transition_wm)
+    from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                              to_window_major)
+
+    cfg = TINY
+    geom = cfg.stage(0)
+    consts = _consts(cfg)
+    params = pangu.init_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(17)
+    off = (1, 3, 6)
+    B, Z, H, W, C = 2, geom.z, geom.h, geom.w, geom.dim
+    skip = jnp.asarray(rng.normal(size=(B, Z, H, W, C)).astype(np.float32))
+    dec = jnp.asarray(rng.normal(size=(B, Z, H, W, C)).astype(np.float32))
+
+    def rolled(x):
+        hp = geom.h_padded
+        junk = jnp.asarray(rng.normal(
+            size=(B, Z, hp - H, W, C)).astype(np.float32)) * 50.0
+        xp = jnp.concatenate([x, junk], axis=2)
+        return to_window_major(jnp.roll(xp, (-off[0], -off[1], -off[2]),
+                                        axis=(1, 2, 3)), geom.window)
+
+    tp = build_transition_wm(params, consts, cfg)
+    want = apply_transition(tp, (skip, dec))       # (B, Z, H, W, C)
+    with pltpu.force_tpu_interpret_mode():
+        got = apply_transition_wm(tp, rolled(skip), rolled(dec), geom, off)
+    got = from_window_major(got, geom.window)[:, :, :H]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_wm_rollout_matches_standard():
+    """The all-window-major chained rollout (forward_core_wm +
+    apply_transition_wm: the token state never exists in canonical layout
+    between steps) must match the standard physical-space rollout."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = dataclasses.replace(TINY, attn_impl="pallas", block_layout="wm")
+    consts = _consts(cfg)
+    params = pangu.init_params(jax.random.PRNGKey(5), cfg)
+    assert pangu.wm_core_supported(params, cfg)
+    u = jnp.asarray(RNG.normal(size=(1, cfg.upper_vars, cfg.levels,
+                                     cfg.lat, cfg.lon)).astype(np.float32))
+    s = jnp.asarray(RNG.normal(size=(1, cfg.surface_vars, cfg.lat,
+                                     cfg.lon)).astype(np.float32))
+
+    std = make_rollout(TINY, consts, 3)
+    a = std(params, u + 0, s + 0)
+    with pltpu.force_tpu_interpret_mode():
+        tok = make_rollout(cfg, consts, 3, token_space=True)
+        b = tok(params, u + 0, s + 0)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert x.shape == y.shape
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=5e-3, rtol=1e-3)
