@@ -284,6 +284,19 @@ TINY = ModelConfig(
     remat=False,
 )
 
+# Mid-size geometry (~1/3 linear of the full grid, full level count, real
+# depth asymmetry): the multi-chip dry run exercises this in addition to
+# TINY so the sharding story is validated beyond toy extents.
+MID = ModelConfig(
+    levels=13,
+    lat=241,
+    lon=480,
+    depths=(2, 4, 4, 2),
+    heads=(4, 8, 8, 4),
+    dims=(48, 96, 96, 48),
+    remat=False,
+)
+
 
 # ---------------------------------------------------------------------------
 # Overrides: nested-dict merge from JSON file / env / CLI ("a.b.c=v")

@@ -188,26 +188,41 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
     if (cfg.attn_impl == "pallas" and not deterministic
             and cfg.train_fused and TRAIN_FUSED):
         from pangu_tpu.ops.earth_block_fused import (run_stage_train,
+                                                     run_stage_train_sharded,
+                                                     stage_shardable,
                                                      stage_supports_fused)
         from pangu_tpu.parallel.sharding import multi_device_mesh_active
-        if (stage_supports_fused(stage_params)
-                and not multi_device_mesh_active()):
+        if stage_supports_fused(stage_params):
             # training: whole-block kernels as the primal, per-block
-            # custom_vjp remat backward; stochastic depth as per-sample
-            # branch scales, drawn with the SAME splits/keys as the XLA
-            # path below so losses match bit-for-bit across paths
-            drops = _stage_drops(len(stage_params["blocks"]), rates, offset,
-                                 rng, x.shape[0])
-            if cfg.block_layout == "wm":
-                from pangu_tpu.ops.earth_block_bwd import run_stage_train_wm
-                return run_stage_train_wm(stage_params, x, geom, drops,
-                                          fast_math=cfg.fast_math,
-                                          chunk_target=cfg.lon_chunk)
-            return run_stage_train(stage_params, x, geom, drops,
-                                   fast_math=cfg.fast_math,
-                                   chunk_target=cfg.lon_chunk,
-                                   unroll=cfg.attn_unroll,
-                                   grid_bwd=cfg.grid_bwd)
+            # custom_vjp backward; stochastic depth as per-sample branch
+            # scales, drawn with the SAME splits/keys as the XLA path
+            # below so losses match bit-for-bit across paths
+            if not multi_device_mesh_active():
+                drops = _stage_drops(len(stage_params["blocks"]), rates,
+                                     offset, rng, x.shape[0])
+                if cfg.block_layout == "wm":
+                    from pangu_tpu.ops.earth_block_bwd import \
+                        run_stage_train_wm
+                    return run_stage_train_wm(stage_params, x, geom, drops,
+                                              fast_math=cfg.fast_math,
+                                              chunk_target=cfg.lon_chunk)
+                return run_stage_train(stage_params, x, geom, drops,
+                                       fast_math=cfg.fast_math,
+                                       chunk_target=cfg.lon_chunk,
+                                       unroll=cfg.attn_unroll,
+                                       grid_bwd=cfg.grid_bwd)
+            mesh = jax.sharding.get_abstract_mesh()
+            shape = dict(getattr(mesh, "shape", {}) or {})
+            if (set(shape) >= {"dp", "sp"}
+                    and stage_shardable(geom, shape, x.shape[0])):
+                # >1-device mesh: whole-block kernels per (dp, sp) shard;
+                # lon rolls become differentiable ppermute halo exchanges
+                drops = _stage_drops(len(stage_params["blocks"]), rates,
+                                     offset, rng, x.shape[0])
+                return run_stage_train_sharded(
+                    stage_params, x, geom, drops, mesh,
+                    fast_math=cfg.fast_math, chunk_target=cfg.lon_chunk,
+                    unroll=cfg.attn_unroll, grid_bwd=cfg.grid_bwd)
 
     for j, bp in enumerate(stage_params["blocks"]):
         brng = None

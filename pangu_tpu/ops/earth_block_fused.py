@@ -441,6 +441,58 @@ def run_stage_train(stage_params, x, geom, drops, *, fast_math: bool = False,
     return xs[:, :, :H]
 
 
+def run_stage_train_sharded(stage_params, x, geom, drops, mesh, *,
+                            fast_math: bool = False,
+                            chunk_target: int | None = None,
+                            unroll: bool = False, grid_bwd: str = "pallas"):
+    """Training forward+backward of one EarthSpecificLayer through the
+    whole-block kernels on a >1-device mesh (VERDICT round-1 item 3).
+
+    shard_map over (dp=batch, sp=longitude): the per-block custom_vjp
+    cores run per shard with the LONGITUDE component of each half-window
+    shift materialised as a ``lax.ppermute`` halo exchange (``_lon_shift``)
+    BEFORE the kernel — in-kernel lon rotates would wrap at shard
+    boundaries.  The halo exchange is an ordinary differentiable op, so
+    the backward's recompute gets the reverse ppermute for free from its
+    vjp, and shard_map's transpose psums the replicated parameter
+    gradients across shards — the gradient sync the reference's DDP setup
+    forgot to wire (/root/reference/era5_data/utils_dist.py:125)."""
+    from jax.sharding import PartitionSpec as P
+
+    sp = int(dict(mesh.shape).get("sp", 1))
+    spec_x = P("dp", None, None, "sp", None)
+    spec_d = P("dp", None)
+
+    def inner(params, xx, dr):
+        wz, wh, ww = geom.window
+        B, Z, H, W, C = xx.shape
+        hp = geom.h_padded
+        xs = jnp.pad(xx, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
+        half = (wz // 2, wh // 2, ww // 2)
+        off = (0, 0, 0)
+        for j, bp in enumerate(params["blocks"]):
+            shifted = (j % 2 == 1)
+            target = half if shifted else (0, 0, 0)
+            delta = tuple(t - o for t, o in zip(target, off))
+            if delta[2]:
+                xs = _lon_shift(xs, delta[2], "sp", sp)
+                delta = (delta[0], delta[1], 0)
+            core = _block_v2_train_core(geom, delta, target[1], shifted,
+                                        fast_math, chunk_target, unroll,
+                                        grid_bwd)
+            xs = core(bp, xs, dr[j])
+            off = target
+        if off != (0, 0, 0):
+            xs = jnp.roll(xs, off[:2], axis=(1, 2))
+            xs = _lon_shift(xs, -off[2], "sp", sp)
+        return xs[:, :, :H]
+
+    return jax.shard_map(inner, mesh=mesh,
+                         in_specs=(P(), spec_x, [spec_d] * len(drops)),
+                         out_specs=spec_x, check_vma=False)(
+        stage_params, x, list(drops))
+
+
 def _lon_shift(xs, dw: int, sp_axis: Optional[str], sp_size: int):
     """Global ``jnp.roll(xs, -dw, axis=3)`` on a storage tensor whose lon
     axis may be sharded over mesh axis ``sp_axis`` (shard_map context).

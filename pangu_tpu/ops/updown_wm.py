@@ -69,7 +69,7 @@ def _make_down_wm_kernel(window, nlon0: int, nlon1: int, c: int,
 
     def kernel(*refs):
         xs = refs[:6]                            # 2 z-parts x 3 lat wins
-        ns_ref, nb_ref, wr_ref, o_ref, cat_s = refs[6:]
+        ns_ref, nb_ref, wr_ref, o_ref, cat_s, h_s, q_s = refs[6:]
         hh = pl.program_id(2)
 
         lat_iota = jax.lax.broadcasted_iota(
@@ -88,14 +88,21 @@ def _make_down_wm_kernel(window, nlon0: int, nlon1: int, c: int,
             lat_in = 2 * wh * hh + lat_iota
             lat12 = jnp.where(lat_in[None] < h_in, lat12,
                               jnp.zeros_like(lat12))
-            # 2x2 space-to-depth: [lp, wi, k, ho, wp, wo, C] with
-            # out row = k*ww + wi*(ww//2) + wp, feature (ho, wo, C)
-            # (merge order of reference models/layers.py:449-451)
-            t = lat12.reshape(nlon1, 2, wh, 2, ww // 2, 2, c)
-            t = t.transpose(3, 5, 0, 2, 1, 4, 6)
+            # 2x2 space-to-depth, merge order (h_off, w_off, C)
+            # (reference models/layers.py:449-451), staged as <=5-D
+            # sublane transposes with the lane dim intact — real Mosaic
+            # rejects 7-D vectors and lane-splitting reshapes that
+            # interpret mode accepts (NOTES.md round-2 gotchas)
+            t = lat12.reshape(nlon0, wh, 2, ww, c)   # [iw, k, ho, w, C]
+            h_s[...] = t.transpose(2, 0, 1, 3, 4)    # [ho, iw, k, w, C]
+            for ho in range(2):
+                g5 = h_s[ho].reshape(nlon0, wh, ww // 2, 2, c)
+                q_s[ho] = g5.transpose(3, 0, 1, 2, 4)  # [wo,iw,k,wp,C]
             for ho in range(2):
                 for wo in range(2):
-                    part = t[ho, wo].reshape(nlon1, wh * ww, c)
+                    p5 = q_s[ho, wo].reshape(nlon1, 2, wh, ww // 2, c)
+                    p5 = p5.transpose(0, 2, 1, 3, 4)   # [lp,k,wi,wp,C]
+                    part = p5.reshape(nlon1, wh * ww, c)
                     cat_s[rz, :, :, (ho * 2 + wo) * c:
                           (ho * 2 + wo + 1) * c] = part
 
@@ -159,7 +166,9 @@ def down_sample_wm(p, xs, geom0, geom1, off: Tuple[int, int, int],
         in_specs=x_specs + [fullspec(ns.shape), fullspec(nb.shape),
                             fullspec(wr.shape)],
         out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((2, nlon1, wh * ww, 4 * c), dt)],
+        scratch_shapes=[pltpu.VMEM((2, nlon1, wh * ww, 4 * c), dt),
+                        pltpu.VMEM((2, nlon0, wh, ww, c), dt),
+                        pltpu.VMEM((2, 2, nlon0, wh, ww // 2, c), dt)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=128 * 1024 * 1024),
@@ -183,7 +192,8 @@ def _make_up_wm_kernel(window, nlon_in: int, nlon_out: int, c_in: int,
 
     def kernel(*refs):
         xs = refs[:2]                            # one z-half chunk per part
-        we_ref, ns_ref, nb_ref, wm_ref, o_ref, e_s = refs[2:]
+        (we_ref, ns_ref, nb_ref, wm_ref, o_ref,
+         e_s, st_s, m_s, y_s) = refs[2:]
         hh = pl.program_id(2)
 
         # input canonical lats (wh//2)*hh .. +wh//2-1 live at local row
@@ -212,16 +222,29 @@ def _make_up_wm_kernel(window, nlon_in: int, nlon_out: int, c_in: int,
 
         # depth-to-space: e [iw, k, w, (ho, wo, C)] ->
         # out [l=2iw+wi, ko=2k+ho, wglob=2wl+wo] (layers.py:481-489)
-        parts = []
+        # depth-to-space via LANE-offset feature slices + <=5-D sublane
+        # transposes — real Mosaic rejects both lane-splitting reshapes
+        # ((…,4C) -> (…,2,2,C)) and 7-D vector shapes that interpret mode
+        # accepts (NOTES.md round-2 gotchas; reference semantics
+        # models/layers.py:481-489)
         for rz in range(2):
-            # rows (k, w) with w -> (wi, wl); features (ho, wo, C)
-            # (reference depth-to-space order, models/layers.py:481-489)
-            e = e_s[rz].reshape(nlon_in, wh // 2, 2, ww // 2, 2, 2, c_out)
-            t = e.transpose(0, 2, 1, 4, 3, 5, 6)
-            # [iw, wi, k, ho, wl, wo, C]: out window l = 2*iw + wi, out
-            # row (2k+ho)*ww + 2*wl + wo — exactly the flatten order
-            parts.append(t.reshape(nlon_out, wh * ww, c_out))
-        y = jnp.concatenate([parts[0], parts[1]], axis=1)  # z-major rows
+            for ho in range(2):
+                for wo in range(2):
+                    sl = e_s[rz][:, :, (2 * ho + wo) * c_out:
+                                 (2 * ho + wo + 1) * c_out]   # (iw,36,C)
+                    t = sl.reshape(nlon_in, wh // 2, 2, ww // 2, c_out)
+                    t = t.transpose(0, 2, 1, 3, 4)     # [iw,wi,k,wl,C]
+                    st_s[ho, wo] = t.reshape(nlon_out, (wh // 2)
+                                             * (ww // 2), c_out)
+            for ho in range(2):
+                b = st_s[ho]                           # (2=wo,l,k*wl,C)
+                b = b.reshape(2, nlon_out, wh // 2, ww // 2, c_out)
+                b = b.transpose(1, 2, 3, 0, 4)         # [l,k,wl,wo,C]
+                m_s[ho] = b.reshape(nlon_out, wh // 2, ww, c_out)
+            mm = m_s[...].transpose(1, 2, 0, 3, 4)     # [l,k,ho,w,C]
+            y_s[rz] = mm.reshape(nlon_out, wh * ww, c_out)
+        y = y_s[...].transpose(1, 0, 2, 3)             # z-major rows
+        y = y.reshape(nlon_out, n, c_out)
 
         yf = _kernel_ln(y.reshape(nlon_out * n, c_out), ns_ref[...],
                         nb_ref[...], fast_math)
@@ -279,8 +302,11 @@ def up_sample_wm(p, xs, geom2, geom3, off: Tuple[int, int, int],
         in_specs=x_specs + [fullspec(we.shape), fullspec(ns.shape),
                             fullspec(nb.shape), fullspec(wm.shape)],
         out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((2, nlon2, (wh // 2) * ww, 4 * c_out),
-                                   dt)],
+        scratch_shapes=[
+            pltpu.VMEM((2, nlon2, (wh // 2) * ww, 4 * c_out), dt),
+            pltpu.VMEM((2, 2, nlon3, (wh // 2) * (ww // 2), c_out), dt),
+            pltpu.VMEM((2, nlon3, wh // 2, ww, c_out), dt),
+            pltpu.VMEM((2, nlon3, wh * ww, c_out), dt)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=128 * 1024 * 1024),

@@ -234,3 +234,80 @@ def test_multi_host_device_put_uses_process_local_assembly(monkeypatch):
     out = put(batch)
     assert seen == [(2, 5, 5, 49, 192)]
     assert out["upper"].shape[0] == 2
+
+
+def test_sharded_fused_train_stage_matches_xla(problem):
+    """run_stage_train_sharded (whole-block kernels per (dp, sp) shard,
+    lon shifts as differentiable ppermute halo exchanges): value AND all
+    gradients must match the unsharded XLA composition — the multi-chip
+    fused TRAINING path (VERDICT round-1 item 3)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pangu_tpu.models import layers as L
+    from pangu_tpu.ops.earth_block_fused import (run_stage_train_sharded,
+                                                 stage_shardable)
+
+    params, _, _ = problem
+    stage_idx, depth = 1, 4
+    geom = CFG.stage(stage_idx)
+    blocks = params["stages"][stage_idx]["blocks"]
+    sp_params = {"blocks": (list(blocks) * 2)[:depth]}
+    B = 2
+    rng = np.random.default_rng(23)
+    drops = [jnp.asarray(rng.choice([0.0, 0.8, 1.25], size=(B, 2))
+                         .astype(np.float32)) for _ in range(depth)]
+    x = jnp.asarray(rng.normal(
+        size=(B, geom.z, geom.h, geom.w, geom.dim)).astype(np.float32))
+
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=2, tp=1))
+    assert stage_shardable(geom, dict(mesh.shape), B)
+
+    def ref_chain(sp, xx):
+        y = xx
+        for j, bp in enumerate(sp["blocks"]):
+            roll = j % 2 == 1
+            s1 = drops[j][:, 0].reshape(B, 1, 1, 1, 1)
+            s2 = drops[j][:, 1].reshape(B, 1, 1, 1, 1)
+            shortcut = y
+            hp = geom.h_padded
+            xp = jnp.pad(y, ((0, 0), (0, 0), (0, hp - geom.h),
+                             (0, 0), (0, 0)))
+            mask = None
+            if roll:
+                xp = jnp.roll(xp, (-1, -3, -6), axis=(1, 2, 3))
+                ids = jnp.asarray(L.window_region_ids(geom.z, hp,
+                                                      geom.window))
+                mask = jnp.where(ids[:, None, :] != ids[:, :, None],
+                                 jnp.float32(-100.0), jnp.float32(0.0))
+            win = L.window_partition(xp, geom.window)
+            win = L.earth_attention(bp["attn"], win, geom.heads, mask)
+            xp = L.window_reverse(win, geom.window, geom.z, hp, geom.w)
+            if roll:
+                xp = jnp.roll(xp, (1, 3, 6), axis=(1, 2, 3))
+            y2 = xp[:, :, :geom.h]
+            y = shortcut + s1 * L.layer_norm(bp["norm1"], y2)
+            y = y + s2 * L.layer_norm(bp["norm2"], L.mlp(bp["mlp"], y))
+        return y
+
+    def loss_sharded(sp, xx):
+        return jnp.sum(run_stage_train_sharded(sp, xx, geom, drops,
+                                               mesh) ** 2)
+
+    def loss_ref(sp, xx):
+        return jnp.sum(ref_chain(sp, xx) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        vf, gf = jax.value_and_grad(loss_sharded, argnums=(0, 1))(
+            sp_params, x)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1))(sp_params, x)
+
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_r = jax.tree.leaves(gr)
+    assert len(flat_f) == len(flat_r)
+    for (path, a), b in zip(flat_f, flat_r):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(1.0, float(np.max(np.abs(b))))
+        assert float(np.max(np.abs(a - b))) <= 2e-5 * scale, (
+            jax.tree_util.keystr(path))
