@@ -39,23 +39,29 @@ def make_score_step(cfg: ModelConfig, constants,
                                   deterministic=True)
         out_u, out_s = denorm_data(out_u, out_s, constants)
 
-        # squeeze batch (eval batch size is 1, like the reference)
-        pu, ps = out_u[0], out_s[0]
-        tu, ts = target_upper[0], target_surface[0]
-
-        scores = {}
-        for i, var in enumerate(("z", "q", "t", "u", "v")[:cfg.upper_vars]):
-            scores[f"rmse_upper_{var}"] = weighted_rmse_channels(pu[i], tu[i])
-        scores["rmse_surface"] = weighted_rmse_channels(ps, ts)
-
         um = constants["upper_mean"]
         sm = constants["surface_mean"]
-        pu_a, tu_a = pu - um, tu - um
-        ps_a, ts_a = ps - sm, ts - sm
-        for i, var in enumerate(("z", "q", "t", "u", "v")[:cfg.upper_vars]):
-            scores[f"acc_upper_{var}"] = weighted_acc_channels(pu_a[i],
-                                                               tu_a[i])
-        scores["acc_surface"] = weighted_acc_channels(ps_a, ts_a)
+
+        def one_sample(pu, ps, tu, ts):
+            # per-sample scoring (matches the reference's batch-1 loop,
+            # models/pangu_sample.py:229-270); vmapped over the batch so
+            # eval batch > 1 yields per-sample rows
+            scores = {}
+            names = ("z", "q", "t", "u", "v")[:cfg.upper_vars]
+            for i, var in enumerate(names):
+                scores[f"rmse_upper_{var}"] = weighted_rmse_channels(
+                    pu[i], tu[i])
+            scores["rmse_surface"] = weighted_rmse_channels(ps, ts)
+            pu_a, tu_a = pu - um, tu - um
+            ps_a, ts_a = ps - sm, ts - sm
+            for i, var in enumerate(names):
+                scores[f"acc_upper_{var}"] = weighted_acc_channels(
+                    pu_a[i], tu_a[i])
+            scores["acc_surface"] = weighted_acc_channels(ps_a, ts_a)
+            return scores
+
+        scores = jax.vmap(one_sample)(out_u, out_s, target_upper,
+                                      target_surface)
         return scores, (out_u, out_s)
 
     # bind constants as a per-call jit argument (closures would inline the
@@ -97,13 +103,23 @@ def evaluate(params, batches: Iterable, cfg: Config, constants, *,
         scores, (out_u, out_s) = score_step(
             params, batch["upper"], batch["surface"],
             batch["target_upper"], batch["target_surface"])
+        B = int(np.asarray(batch["surface"]).shape[0])
         target_time = batch.get("times", (str(i), str(i)))[1]
+        # per-sample CSV rows: "times" may carry one timestamp per sample
+        # (batch > 1) or a single string (batch 1, the reference setup)
         if isinstance(target_time, (tuple, list)):
-            target_time = target_time[0]
+            row_keys = [str(t) for t in target_time][:B]
+        else:
+            row_keys = [str(target_time)]
+        while len(row_keys) < B:
+            row_keys.append(f"{row_keys[0]}+{len(row_keys)}")
         if logger is not None:
-            logger.info(f"predict on {i} -> {target_time}")
+            logger.info(f"predict on {i} -> {row_keys[0]}")
         for name in names:
-            tables[name][target_time] = np.asarray(scores[name])
+            arr = np.asarray(scores[name])          # (B, ...) per sample
+            for b, key in enumerate(row_keys):
+                tables[name][key] = arr[b]
+        target_time = row_keys[0]
 
         if visualize:
             viz.mkdirs(png_path)

@@ -30,6 +30,22 @@ def single_step(params, upper, surface, constants, cfg: ModelConfig,
     return denorm_data(out_u, out_s, constants)
 
 
+def _recover_per_sample(recover, x_cat):
+    """Apply ``recover`` one batch sample at a time (lax.map): the patch
+    recovery's (B, V, ZP, pz, HT, ph, WT, pw) interleave intermediate is
+    ~4.7 GB *per sample* in bf16 — batched it OOMs the chip at B>=4, and
+    it runs once per rollout so sequentialising it costs nothing."""
+    leaves = jax.tree.leaves(x_cat)
+    if leaves[0].shape[0] == 1:
+        return recover(x_cat)
+
+    def one(p):
+        out = recover(jax.tree.map(lambda t: t[None], p))
+        return jax.tree.map(lambda a: a[0], out)
+
+    return jax.lax.map(one, x_cat)
+
+
 def make_rollout(cfg: ModelConfig, constants, steps: int, *,
                  return_trajectory: bool = False, precision=None,
                  token_space: bool = False):
@@ -84,7 +100,7 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
         x, _ = jax.lax.scan(body, x, None, length=steps - 1)
         x_cat = pangu.forward_core(params, x, cfg, deterministic=True,
                                    precision=precision)
-        return recover(x_cat)
+        return _recover_per_sample(recover, x_cat)
 
     def rollout_tokens_wm(params, upper, surface, constants):
         """All-window-major chained rollout: the token state never exists
@@ -127,7 +143,8 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
             return final, traj
         xs, _ = jax.lax.scan(body, xs, None, length=steps - 1)
         skip, dec, off = pangu.forward_core_wm(params, xs, cfg)
-        return recover((canon(skip, off), canon(dec, off)))
+        return _recover_per_sample(recover, (canon(skip, off),
+                                             canon(dec, off)))
 
     def rollout_tokens_dispatch(params, upper, surface, constants):
         # structural, trace-time choice: all-wm chain when supported

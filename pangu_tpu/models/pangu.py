@@ -430,6 +430,24 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
                       precision)
     if taps is not None:
         taps["embed"] = x
+    if deterministic and taps is None and wm_core_supported(params, cfg):
+        # single-step fast path: the trunk runs all-window-major (the
+        # same kernels the rollout chains); only the embed output and the
+        # pre-recovery pair exist in canonical layout
+        from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                                  to_window_major)
+        geom = cfg.stage(0)
+        xs = to_window_major(
+            jnp.pad(x, ((0, 0), (0, 0), (0, geom.h_padded - x.shape[2]),
+                        (0, 0), (0, 0))), geom.window)
+        skip, dec, off = forward_core_wm(params, xs, cfg)
+
+        def canon(t):
+            t = from_window_major(t, geom.window)
+            return jnp.roll(t, off, axis=(1, 2, 3))[:, :, :geom.h]
+
+        return L.patch_recovery(params["patch_recovery"],
+                                (canon(skip), canon(dec)), cfg, precision)
     x = shard_tokens(x)
     x = forward_core(params, x, cfg, rng=rng, deterministic=deterministic,
                      precision=precision, taps=taps)
