@@ -93,14 +93,19 @@ def main():
     u, s = fresh(0)
     jax.block_until_ready(roll(params, u, s))   # compile + warm
 
-    best = float("inf")
+    times = []
     for t in range(3):
         u, s = fresh(t + 1)
         jax.block_until_ready((u, s))
         t0 = time.perf_counter()
         out = roll(params, u, s)
         jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / STEPS * 1e3)
+        times.append((time.perf_counter() - t0) / STEPS * 1e3)
+    # the backend caches repeated dispatches when recycled (donated)
+    # buffer addresses match — a cached attempt returns in ~0 ms; treat
+    # sub-5 ms "steps" as artifacts (real floor is ~50 ms of HBM traffic)
+    valid = [t for t in times if t > 5.0]
+    best = min(valid) if valid else min(times)
 
     # ---- secondary metric: COLD single 24h step (BASELINE.json config 1:
     # "single 24h forecast step") — includes patch embed + recovery, which
@@ -110,13 +115,15 @@ def main():
     step = jax.jit(lambda p, uu, ss: forward(p, uu, ss, constants, cfg))
     u, s = fresh(100)
     jax.block_until_ready(step(params, u, s))   # compile + warm
-    single = float("inf")
+    stimes = []
     for t in range(3):
         u, s = fresh(101 + t)
         jax.block_until_ready((u, s))
         t0 = time.perf_counter()
         jax.block_until_ready(step(params, u, s))
-        single = min(single, (time.perf_counter() - t0) * 1e3)
+        stimes.append((time.perf_counter() - t0) * 1e3)
+    svalid = [t for t in stimes if t > 5.0]
+    single = min(svalid) if svalid else min(stimes)
 
     # ---- secondary metric: batch-4 rollout throughput (steps/sec/chip,
     # the BASELINE.json metric name) -------------------------------------

@@ -30,6 +30,21 @@ def single_step(params, upper, surface, constants, cfg: ModelConfig,
     return denorm_data(out_u, out_s, constants)
 
 
+def _embed_per_sample(embed, upper, surface):
+    """Run the patch embed one sample at a time (lax.map): at batch 4 the
+    conv input concat picks a 21x-padded TPU layout (12.9 GB for 618 MB
+    of data) and OOMs the chip; the embed runs once per rollout so the
+    sequentialisation is free."""
+    if upper.shape[0] == 1:
+        return embed(upper, surface)
+
+    def one(p):
+        u, s = p
+        return embed(u[None], s[None])[0]
+
+    return jax.lax.map(one, (upper, surface))
+
+
 def _recover_per_sample(recover, x_cat):
     """Apply ``recover`` one batch sample at a time (lax.map): the patch
     recovery's (B, V, ZP, pz, HT, ph, WT, pw) interleave intermediate is
@@ -78,9 +93,10 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
     def rollout_tokens(params, upper, surface, constants):
         tp = build_transition(params, constants, cfg)
         cdt = jnp.dtype(cfg.compute_dtype)
-        x = shard_tokens(L.patch_embed(params["patch_embed"],
-                                       upper.astype(cdt), surface.astype(cdt),
-                                       constants, cfg, precision))
+        x = shard_tokens(_embed_per_sample(
+            lambda u, s: L.patch_embed(params["patch_embed"], u, s,
+                                       constants, cfg, precision),
+            upper.astype(cdt), surface.astype(cdt)))
 
         def recover(x_cat):
             out_u, out_s = L.patch_recovery(params["patch_recovery"], x_cat,
@@ -115,8 +131,10 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
         geom = cfg.stage(0)
         tp = build_transition_wm(params, constants, cfg)
         cdt = jnp.dtype(cfg.compute_dtype)
-        x = L.patch_embed(params["patch_embed"], upper.astype(cdt),
-                          surface.astype(cdt), constants, cfg, precision)
+        x = _embed_per_sample(
+            lambda u, s: L.patch_embed(params["patch_embed"], u, s,
+                                       constants, cfg, precision),
+            upper.astype(cdt), surface.astype(cdt))
         xs = to_window_major(
             jnp.pad(x, ((0, 0), (0, 0), (0, geom.h_padded - x.shape[2]),
                         (0, 0), (0, 0))), geom.window)

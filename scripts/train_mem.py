@@ -14,6 +14,9 @@ import numpy as np
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.path.join(_REPO_ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from pangu_tpu.config import PANGU_24, TrainConfig
@@ -40,17 +43,23 @@ def main():
     tx = T.make_optimizer(tcfg, steps_per_epoch=100)
     state = T.create_train_state(params, tx)
 
-    for fused in (False, True):
-        PM.TRAIN_FUSED = fused
-        raw = T.make_train_step(base, tcfg, constants, tx, jit=False)
+    import sys
+    layouts = sys.argv[1:] or ["wm", "v2"]
+    for layout in layouts:
+        cfgl = dataclasses.replace(base, block_layout=layout)
+        raw = T.make_train_step(cfgl, tcfg, constants, tx, jit=False)
         jitted = jax.jit(raw, donate_argnums=(0,))
         compiled = jitted.lower(state, batch, jax.random.PRNGKey(1)).compile()
         ma = compiled.memory_analysis()
-        print(f"fused={int(fused)}: peak "
-              f"{ma.peak_memory_in_bytes/2**30:.3f} GiB  temp "
+        peak = ma.peak_memory_in_bytes / 2**30
+        print(f"layout={layout}: peak {peak:.3f} GiB  temp "
               f"{ma.temp_size_in_bytes/2**30:.3f}  alias "
               f"{ma.alias_size_in_bytes/2**30:.3f}  code "
               f"{ma.generated_code_size_in_bytes/2**30:.3f}", flush=True)
+        # slow-state cliff guard (NOTES.md): above ~12.7 GiB on the
+        # 15.75 GiB chip the allocator intermittently stalls and step
+        # time triples — catch the regression at compile time
+        assert peak <= 12.5, f"train step peak {peak:.2f} GiB > 12.5 budget"
         jax.clear_caches()
 
 
