@@ -127,3 +127,29 @@ def test_wm_rollout_matches_standard():
         assert x.shape == y.shape
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=5e-3, rtol=1e-3)
+
+
+def test_wm_rollout_matches_standard_batched():
+    """Batch-2 all-wm rollout: per-sample embed/recover endpoints plus
+    the batched (grid bb dim) wm kernels must match the standard rollout."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = dataclasses.replace(TINY, attn_impl="pallas", block_layout="wm")
+    consts = _consts(cfg)
+    params = pangu.init_params(jax.random.PRNGKey(6), cfg)
+    B = 2
+    u = jnp.asarray(RNG.normal(size=(B, cfg.upper_vars, cfg.levels,
+                                     cfg.lat, cfg.lon)).astype(np.float32))
+    s = jnp.asarray(RNG.normal(size=(B, cfg.surface_vars, cfg.lat,
+                                     cfg.lon)).astype(np.float32))
+
+    std = make_rollout(TINY, consts, 2)
+    a = std(params, u + 0, s + 0)
+    with pltpu.force_tpu_interpret_mode():
+        tok = make_rollout(cfg, consts, 2, token_space=True)
+        b = tok(params, u + 0, s + 0)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert x.shape == y.shape
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=5e-3, rtol=1e-3)
