@@ -207,11 +207,22 @@ def greedy_schedule(horizon: int,
 
 def make_hierarchical_rollout(cfg: ModelConfig, constants,
                               horizon: int, model_horizons: Tuple[int, ...],
-                              *, precision=None):
+                              *, precision=None, token_space: bool = False):
     """Build a jitted rollout over a model *hierarchy*: params_by_horizon is
     a dict {horizon_hours: params pytree}; the greedy schedule chains the
     largest usable model at each step. Steps with the same horizon are
-    grouped into scans so each distinct model traces exactly once."""
+    grouped into scans so each distinct model traces exactly once.
+
+    ``token_space=True`` chains the whole hierarchy in token space:
+    within-group steps use each model's own recovery->embed transition,
+    and the handoff between two different-horizon models composes model
+    A's recovery with model B's embed (build_transition(embed_params=B))
+    — the physical-unit state never materialises until the final
+    recovery. Exact by the same de/re-norm cancellation as the
+    single-model path (shared ERA5 statistics)."""
+    from pangu_tpu.engine.transition import apply_transition, build_transition
+    from pangu_tpu.models import layers as L
+
     schedule = greedy_schedule(horizon, model_horizons)
     # group consecutive equal horizons: [24,24,6,3] -> [(24,2),(6,1),(3,1)]
     groups: list[tuple[int, int]] = []
@@ -234,6 +245,42 @@ def make_hierarchical_rollout(cfg: ModelConfig, constants,
             carry, _ = jax.lax.scan(body, carry, None, length=count)
         return carry
 
-    jitted = jax.jit(rollout, donate_argnums=(1, 2))  # constants as arg
+    def rollout_tokens(params_by_horizon, upper, surface, constants):
+        cdt = jnp.dtype(cfg.compute_dtype)
+        p0 = params_by_horizon[groups[0][0]]
+        x = _embed_per_sample(
+            lambda u, s: L.patch_embed(p0["patch_embed"], u, s, constants,
+                                       cfg, precision),
+            upper.astype(cdt), surface.astype(cdt))
+
+        for gi, (h, count) in enumerate(groups):
+            params = params_by_horizon[h]
+            if count > 1:
+                tp_self = build_transition(params, constants, cfg)
+
+                def body(xx, _, params=params, tp=tp_self):
+                    x_cat = pangu.forward_core(params, xx, cfg,
+                                               deterministic=True,
+                                               precision=precision)
+                    return apply_transition(tp, x_cat), None
+
+                x, _ = jax.lax.scan(body, x, None, length=count - 1)
+            x_cat = pangu.forward_core(params, x, cfg, deterministic=True,
+                                       precision=precision)
+            if gi < len(groups) - 1:
+                nxt = params_by_horizon[groups[gi + 1][0]]
+                tp_cross = build_transition(params, constants, cfg,
+                                            embed_params=nxt)
+                x = apply_transition(tp_cross, x_cat)
+            else:
+                def recover(xc, params=params):
+                    out_u, out_s = L.patch_recovery(
+                        params["patch_recovery"], xc, cfg, precision)
+                    return denorm_data(out_u, out_s, constants)
+
+                return _recover_per_sample(recover, x_cat)
+
+    jitted = jax.jit(rollout_tokens if token_space else rollout,
+                     donate_argnums=(1, 2))  # constants as arg
     return (lambda pbh, upper, surface: jitted(pbh, upper, surface,
                                                constants)), schedule

@@ -58,13 +58,23 @@ def _mm(x, m, b=None):
     return y.reshape(*lead, m.shape[-1])
 
 
-def build_transition(params, constants, cfg: ModelConfig) -> Dict:
+def build_transition(params, constants, cfg: ModelConfig,
+                     embed_params=None) -> Dict:
     """Precompute the composed transition operator (trace this inside the
     rollout jit — everything is a few small matmuls plus two tiny convs).
 
     Returns a pytree with the composed matrices, per-type bias vectors and
     the spatial ``bias_field``; feed it to :func:`apply_transition`.
-    """
+
+    ``embed_params``: parameters of the NEXT model in the chain (defaults
+    to ``params``) — with a model hierarchy (1/3/6/24 h checkpoints, the
+    original paper's greedy scheduling) the recovery of model A composes
+    with the embed of model B, so cross-model handoffs also skip the
+    physical-state round trip (the de/re-normalisation still cancels
+    exactly: the ERA5 statistics are data properties shared by every
+    horizon's checkpoint)."""
+    if embed_params is None:
+        embed_params = params
     pz, ph, pw = cfg.patch
     V, S = cfg.upper_vars, cfg.surface_vars
     C = cfg.dims[0]
@@ -77,10 +87,10 @@ def build_transition(params, constants, cfg: ModelConfig) -> Dict:
     bru = params["patch_recovery"]["upper"]["bias"].astype(f32)
     wrs = params["patch_recovery"]["surface"]["kernel"].astype(f32)  # (2C, ns)
     brs = params["patch_recovery"]["surface"]["bias"].astype(f32)
-    weu = params["patch_embed"]["upper"]["kernel"].astype(f32)
-    beu = params["patch_embed"]["upper"]["bias"].astype(f32)
-    wes = params["patch_embed"]["surface"]["kernel"].astype(f32)
-    bes = params["patch_embed"]["surface"]["bias"].astype(f32)
+    weu = embed_params["patch_embed"]["upper"]["kernel"].astype(f32)
+    beu = embed_params["patch_embed"]["upper"]["bias"].astype(f32)
+    wes = embed_params["patch_embed"]["surface"]["kernel"].astype(f32)
+    bes = embed_params["patch_embed"]["surface"]["bias"].astype(f32)
 
     eu = weu[:nu]                  # embed rows for the V real variables
     es = wes[:ns]                  # embed rows for the S surface variables

@@ -146,3 +146,26 @@ def test_hierarchical_rollout_matches_manual_chain():
         u, s = single_step(params, u, s, consts, CFG)
     np.testing.assert_allclose(np.asarray(got_u), np.asarray(u), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(s), atol=1e-4)
+
+
+def test_hierarchical_token_space_rollout_matches_physical():
+    """Token-space hierarchy: cross-model handoffs compose model A's
+    recovery with model B's embed (build_transition(embed_params=B)) —
+    must match the physical-space hierarchical chain with two DISTINCT
+    models."""
+    import jax
+    from pangu_tpu.engine.rollout import make_hierarchical_rollout
+    params, consts, upper, surface = _problem()
+    params_b = pangu.init_params(jax.random.PRNGKey(99), CFG.model
+                                 if hasattr(CFG, "model") else CFG)
+    models = {24: params, 6: params_b}
+
+    phys, schedule = make_hierarchical_rollout(CFG, consts, 54, (24, 6))
+    tok, schedule2 = make_hierarchical_rollout(CFG, consts, 54, (24, 6),
+                                               token_space=True)
+    assert schedule == schedule2 == [24, 24, 6]
+    want = phys(models, jnp.copy(upper), jnp.copy(surface))
+    got = tok(models, jnp.copy(upper), jnp.copy(surface))
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3)
