@@ -248,36 +248,67 @@ def make_hierarchical_rollout(cfg: ModelConfig, constants,
     def rollout_tokens(params_by_horizon, upper, surface, constants):
         cdt = jnp.dtype(cfg.compute_dtype)
         p0 = params_by_horizon[groups[0][0]]
+        # all-window-major when every model in the chain supports it
+        use_wm = all(pangu.wm_core_supported(params_by_horizon[h], cfg)
+                     for h, _ in groups)
+        if use_wm:
+            from pangu_tpu.engine.transition_wm import (apply_transition_wm,
+                                                        build_transition_wm)
+            from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                                      to_window_major)
+            geom = cfg.stage(0)
         x = _embed_per_sample(
             lambda u, s: L.patch_embed(p0["patch_embed"], u, s, constants,
                                        cfg, precision),
             upper.astype(cdt), surface.astype(cdt))
+        if use_wm:
+            x = to_window_major(
+                jnp.pad(x, ((0, 0), (0, 0),
+                            (0, geom.h_padded - x.shape[2]),
+                            (0, 0), (0, 0))), geom.window)
+
+        def core(params, xx):
+            if use_wm:
+                return pangu.forward_core_wm(params, xx, cfg)
+            return pangu.forward_core(params, xx, cfg, deterministic=True,
+                                      precision=precision)
+
+        def trans(tp, x_cat):
+            if use_wm:
+                skip, dec, off = x_cat
+                return apply_transition_wm(tp, skip, dec, geom, off)
+            return apply_transition(tp, x_cat)
 
         for gi, (h, count) in enumerate(groups):
             params = params_by_horizon[h]
+            build = (build_transition_wm if use_wm else build_transition)
             if count > 1:
-                tp_self = build_transition(params, constants, cfg)
+                tp_self = build(params, constants, cfg)
 
                 def body(xx, _, params=params, tp=tp_self):
-                    x_cat = pangu.forward_core(params, xx, cfg,
-                                               deterministic=True,
-                                               precision=precision)
-                    return apply_transition(tp, x_cat), None
+                    return trans(tp, core(params, xx)), None
 
                 x, _ = jax.lax.scan(body, x, None, length=count - 1)
-            x_cat = pangu.forward_core(params, x, cfg, deterministic=True,
-                                       precision=precision)
+            x_cat = core(params, x)
             if gi < len(groups) - 1:
                 nxt = params_by_horizon[groups[gi + 1][0]]
-                tp_cross = build_transition(params, constants, cfg,
-                                            embed_params=nxt)
-                x = apply_transition(tp_cross, x_cat)
+                tp_cross = build(params, constants, cfg, embed_params=nxt)
+                x = trans(tp_cross, x_cat)
             else:
                 def recover(xc, params=params):
                     out_u, out_s = L.patch_recovery(
                         params["patch_recovery"], xc, cfg, precision)
                     return denorm_data(out_u, out_s, constants)
 
+                if use_wm:
+                    skip, dec, off = x_cat
+
+                    def canon(t):
+                        t = from_window_major(t, geom.window)
+                        return jnp.roll(t, off,
+                                        axis=(1, 2, 3))[:, :, :geom.h]
+
+                    x_cat = (canon(skip), canon(dec))
                 return _recover_per_sample(recover, x_cat)
 
     jitted = jax.jit(rollout_tokens if token_space else rollout,

@@ -41,10 +41,12 @@ from pangu_tpu.engine.transition import build_transition
 from pangu_tpu.ops.earth_block_wm import to_window_major
 
 
-def build_transition_wm(params, constants, cfg: ModelConfig) -> Dict:
+def build_transition_wm(params, constants, cfg: ModelConfig,
+                        embed_params=None) -> Dict:
     """build_transition + the bias_field pre-laid-out in window-major
-    storage (computed once per rollout trace)."""
-    tp = build_transition(params, constants, cfg)
+    storage (computed once per rollout trace).  ``embed_params``: the
+    next model in a hierarchy chain (engine/transition.py)."""
+    tp = build_transition(params, constants, cfg, embed_params=embed_params)
     geom = cfg.stage(0)
     bf = tp["bias_field"]                         # (Z, HT, WT, C)
     bf = jnp.pad(bf[None], ((0, 0), (0, 0),

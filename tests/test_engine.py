@@ -169,3 +169,27 @@ def test_hierarchical_token_space_rollout_matches_physical():
     for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3, rtol=1e-3)
+
+
+def test_hierarchical_token_space_rollout_wm():
+    """Hierarchical token-space chain on the all-window-major path (both
+    models wm-capable): must match the physical-space chain."""
+    import dataclasses
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+    from pangu_tpu.engine.rollout import make_hierarchical_rollout
+    params, consts, upper, surface = _problem()
+    cfg_wm = dataclasses.replace(CFG, attn_impl="pallas",
+                                 block_layout="wm")
+    params_b = pangu.init_params(jax.random.PRNGKey(98), CFG)
+    models = {24: params, 6: params_b}
+
+    phys, _ = make_hierarchical_rollout(CFG, consts, 30, (24, 6))
+    want = phys(models, jnp.copy(upper), jnp.copy(surface))
+    with pltpu.force_tpu_interpret_mode():
+        tok, _ = make_hierarchical_rollout(cfg_wm, consts, 30, (24, 6),
+                                           token_space=True)
+        got = tok(models, jnp.copy(upper), jnp.copy(surface))
+    for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3, rtol=1e-3)
