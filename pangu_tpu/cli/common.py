@@ -115,7 +115,7 @@ def make_loaders(cfg: Config, synthetic: bool, mesh=None):
                              process_count=jax.process_count()),
         "val": era5.Loader(dsets["val"], 1, num_workers=cfg.data.num_workers,
                            shard_fn=shard_fn),
-        "test": era5.Loader(dsets["test"], 1,
+        "test": era5.Loader(dsets["test"], cfg.train.eval_batch_size,
                             num_workers=cfg.data.num_workers,
                             shard_fn=shard_fn, drop_last=False),
     }

@@ -49,7 +49,11 @@ def main(argv=None):
         for i, b in enumerate(loaders["test"].epoch(0)):
             if args.limit and i >= args.limit:
                 break
-            b["times"] = (b["times"][0][0], b["times"][1][0])
+            starts, targets = b["times"]
+            # batch 1 keeps the reference's scalar row key; batch > 1
+            # passes the per-sample target list through to the CSV rows
+            b["times"] = ((starts[0], targets[0]) if len(targets) == 1
+                          else (list(starts), list(targets)))
             yield b
 
     with jax.set_mesh(mesh):

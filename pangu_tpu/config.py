@@ -224,6 +224,9 @@ class TrainConfig:
     lr: float = 5e-6
     weight_decay: float = 3e-6   # torch-Adam style L2-into-grad
     batch_size: int = 2
+    eval_batch_size: int = 1   # reference evaluates at batch 1; >1 packs
+                               # several target frames per device dispatch
+                               # (per-sample CSV rows preserved)
     lr_milestones: Tuple[int, ...] = (25, 50)   # epochs
     lr_gamma: float = 0.5
     upper_weights: Tuple[float, ...] = (3.00, 0.60, 1.50, 0.77, 0.54)
