@@ -169,7 +169,8 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
                     from pangu_tpu.ops.earth_block_wm import run_stage_wm
                     return run_stage_wm(stage_params, x, geom,
                                         fast_math=cfg.fast_math,
-                                        chunk_target=cfg.lon_chunk)
+                                        chunk_target=cfg.lon_chunk,
+                                        lat_group=cfg.lat_group)
                 return run_stage_fused(stage_params, x, geom,
                                        fast_math=cfg.fast_math,
                                        chunk_target=cfg.lon_chunk,
@@ -263,7 +264,8 @@ def _maybe_run_stages12_merged(s1, s2, x, cfg: ModelConfig, rng1, rng2,
         if cfg.block_layout == "wm":
             from pangu_tpu.ops.earth_block_wm import run_stage_wm
             return run_stage_wm(combined, x, geom, fast_math=cfg.fast_math,
-                                chunk_target=cfg.lon_chunk)
+                                chunk_target=cfg.lon_chunk,
+                                lat_group=cfg.lat_group)
         return run_stage_fused(combined, x, geom, fast_math=cfg.fast_math,
                                chunk_target=cfg.lon_chunk,
                                unroll=cfg.attn_unroll)
@@ -394,7 +396,7 @@ def forward_core_wm(params, xs, cfg: ModelConfig):
     g0, g1 = cfg.stage(0), cfg.stage(1)
     g2, g3 = cfg.stage(2), cfg.stage(3)
     kw = dict(fast_math=cfg.fast_math, chunk_target=cfg.lon_chunk,
-              io_layout="wm")
+              io_layout="wm", lat_group=cfg.lat_group)
 
     skip, off0 = run_stage_wm(params["stages"][0], xs, g0, **kw)
     x = down_sample_wm(params["downsample"], skip, g0, g1, off0,

@@ -375,9 +375,17 @@ def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
     )(*operands)
 
 
+def _pick_gh(nlat: int, target: int) -> int:
+    """Largest divisor of nlat <= target (lat windows per program)."""
+    for g in range(min(nlat, max(1, target)), 0, -1):
+        if nlat % g == 0:
+            return g
+    return 1
+
+
 def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
                  chunk_target: Optional[int] = None,
-                 io_layout: str = "canon"):
+                 io_layout: str = "canon", lat_group: int = 1):
     """Run one EarthSpecificLayer in window-major whole-block kernels.
 
     ``io_layout="canon"`` (default): x is canonical (B, Z, H, W, C) and
@@ -408,6 +416,7 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
     blocks = stage_params["blocks"]
     nb = len(blocks)
 
+    gh = _pick_gh(hp // wh, lat_group)
     for j, bp in enumerate(blocks):
         shifted = (j % 2 == 1)
         target = half if shifted else (0, 0, 0)
@@ -415,12 +424,21 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
         if shifted and mask is None:
             from pangu_tpu.models.layers import window_region_ids
             mask = jnp.asarray(window_region_ids(Z, hp, geom.window))
-        xs = _block_wm_call(bp, xs, geom, delta, canon_add=target[1],
-                            mask=mask if shifted else None,
-                            fast_math=fast_math, chunk_target=chunk_target,
-                            in_layout="wm" if (wm_io or j > 0) else "canon",
-                            out_layout="wm" if (wm_io or j < nb - 1)
-                            else "canon")
+        in_l = "wm" if (wm_io or j > 0) else "canon"
+        out_l = "wm" if (wm_io or j < nb - 1) else "canon"
+        if in_l == "wm" and out_l == "wm" and gh > 1:
+            # interior blocks: gh lat-windows per program (wider matmuls,
+            # amortised weight/bias-table streams)
+            xs = _block_wm_group_call(bp, xs, geom, delta, target[1],
+                                      mask if shifted else None,
+                                      fast_math, gh,
+                                      chunk_target=chunk_target)
+        else:
+            xs = _block_wm_call(bp, xs, geom, delta, canon_add=target[1],
+                                mask=mask if shifted else None,
+                                fast_math=fast_math,
+                                chunk_target=chunk_target,
+                                in_layout=in_l, out_layout=out_l)
         off = target
 
     if wm_io:
@@ -428,3 +446,253 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
     if off != (0, 0, 0):
         xs = jnp.roll(xs, off, axis=(1, 2, 3))
     return xs[:, :, :H]
+
+
+# ---------------------------------------------------------------------------
+# Lat-grouped interior kernels: gh lat-windows per program.
+#
+# In a wm-io chain every block reads and writes window-major storage, so
+# programs differ only in which (zz, hh) window they touch.  Grouping gh
+# lat-windows into one program makes the qkv/proj/MLP matmuls gh x wider
+# (better MXU occupancy at small nlon) and amortises the per-program
+# weight + bias-table streams across gh windows.  Only wm->wm blocks
+# (interior of a wm-io chain) support grouping; stage end-points and
+# prime nlat geometries fall back to gh=1.
+# ---------------------------------------------------------------------------
+
+def _make_wm_group_kernel(heads: int, hd: int, window, nlon: int, c: int,
+                          gh: int, h_real: int, hp: int,
+                          delta, canon_add: int, has_mask: bool,
+                          fast_math: bool, has_drop: bool,
+                          chunk_target: Optional[int]):
+    wz, wh, ww = window
+    n = wz * wh * ww
+    half = n // 2
+    scale = hd ** -0.5
+    chunk = _lon_chunk(nlon, chunk_target)
+    dz, dh, dw = delta
+    stitch = dz != 0 or dh != 0
+    n_x_refs = 4 if stitch else 1
+
+    def kernel(*refs):
+        xs = refs[:n_x_refs]
+        i = n_x_refs
+        (wqkv_ref, bqkv_ref, wp_ref, bp_ref, b_ref) = refs[i:i + 5]
+        i += 5
+        ids_ref = None
+        if has_mask:
+            ids_ref = refs[i]
+            i += 1
+        drop_ref = None
+        if has_drop:
+            drop_ref = refs[i]
+            i += 1
+        (n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+         w1_ref, b1_ref, w2_ref, b2_ref) = refs[i:i + 8]
+        o_ref = refs[i + 8]
+        qkv_s, attn_s = refs[i + 9:i + 11]
+
+        # ---- assemble (gh, nlon, N, C) in window coords ----------------
+        if stitch:
+            cut = (wh // 2) * ww
+            r72 = jax.lax.broadcasted_iota(jnp.int32, (half, 1), 0)
+            a0 = xs[0][0, 0]                     # blkA, z-half 0
+            b0 = xs[1][0, 0]                     # blkB, z-half 0
+            a1 = xs[2][0, 0]
+            b1 = xs[3][0, 0]
+
+            def pair(blka, blkb):
+                if dh > 0:
+                    top = blka
+                    bot = jnp.concatenate([blka[1:], blkb[:1]], axis=0)
+                else:
+                    top = jnp.concatenate([blka[gh - 1:], blkb[:gh - 1]],
+                                          axis=0)
+                    bot = blkb
+                return jnp.where(r72[None, None] < cut,
+                                 jnp.roll(top, -cut, axis=2),
+                                 jnp.roll(bot, cut, axis=2))
+
+            x = jnp.concatenate([pair(a0, b0), pair(a1, b1)], axis=2)
+        else:
+            x = xs[0][0, 0]                      # (gh, nlon, n, c)
+
+        if dw:
+            w_in_run = jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0), ww)[None, None]
+            if dw > 0:
+                xn = jnp.roll(x, -1, axis=1)
+                x = jnp.where(w_in_run < ww - dw,
+                              jnp.roll(x, -dw, axis=2),
+                              jnp.roll(xn, ww - dw, axis=2))
+            else:
+                xp = jnp.roll(x, 1, axis=1)
+                x = jnp.where(w_in_run >= -dw,
+                              jnp.roll(x, -dw, axis=2),
+                              jnp.roll(xp, -(ww + dw), axis=2))
+
+        if h_real < hp:
+            hh = pl.program_id(2)
+            win_i = jax.lax.broadcasted_iota(jnp.int32, (gh, 1, 1), 0)
+            row = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+            lat_loc = jax.lax.rem(jax.lax.div(row, ww), wh)
+            canon = jax.lax.rem(wh * (gh * hh + win_i) + lat_loc + canon_add,
+                                hp)
+            x = jnp.where(canon[:, None] < h_real, x, jnp.zeros_like(x))
+
+        xf = x.reshape(gh * nlon * n, c)
+        dt = x.dtype
+
+        qkv = jax.lax.dot_general(
+            xf, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        qkv = qkv + bqkv_ref[...][None].astype(jnp.float32)
+        qkv_s[...] = qkv.astype(dt).reshape(gh * nlon, n, 3 * c)
+
+        def body(t, carry):
+            wi = t // (nlon // chunk)
+            lo = t * chunk                       # == wi*nlon + ll*chunk
+            bias = b_ref[wi].astype(jnp.float32)
+            if ids_ref is not None:
+                r = ids_ref[wi][0]
+                bias = bias + jnp.where(r[None, :] != r[:, None],
+                                        jnp.float32(-100.0), jnp.float32(0.0))
+            for h in range(heads):
+                q = qkv_s[pl.ds(lo, chunk), :, h * hd:(h + 1) * hd]
+                k = qkv_s[pl.ds(lo, chunk), :, c + h * hd:c + (h + 1) * hd]
+                v = qkv_s[pl.ds(lo, chunk), :,
+                          2 * c + h * hd:2 * c + (h + 1) * hd]
+                s = jax.lax.dot_general(
+                    q, k, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                s = s * jnp.float32(scale) + bias[h][None]
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+                o = jax.lax.dot_general(
+                    pr, v, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)
+                attn_s[pl.ds(lo, chunk), :,
+                       h * hd:(h + 1) * hd] = o.astype(dt)
+            return carry
+
+        jax.lax.fori_loop(0, gh * (nlon // chunk), body, 0, unroll=False)
+
+        a = jax.lax.dot_general(
+            attn_s[...].reshape(gh * nlon * n, c), wp_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        a = (a + bp_ref[...][None].astype(jnp.float32)).astype(dt)
+
+        s1 = s2 = None
+        if drop_ref is not None:
+            s1, s2 = drop_ref[0, 0], drop_ref[0, 1]
+        y = tail_math(a, xf, n1s_ref[...], n1b_ref[...], n2s_ref[...],
+                      n2b_ref[...], w1_ref[...], b1_ref[...], w2_ref[...],
+                      b2_ref[...], fast_math, s1, s2)
+
+        o_ref[0, 0] = y.reshape(gh, nlon, n, c).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _block_wm_group_call(p, xs, geom, delta, canon_add: int,
+                         mask, fast_math: bool, gh: int,
+                         drop=None, chunk_target: Optional[int] = None):
+    """Grouped wm->wm whole block: gh lat-windows per program."""
+    b, nz, nlat, nlon, n, c = xs.shape
+    wz, wh, ww = geom.window
+    heads = geom.heads
+    hd = c // heads
+    hp = nlat * wh
+    dz, dh, dw = delta
+    stitch = dz != 0 or dh != 0
+    nblk = nlat // gh
+    assert nlat % gh == 0
+
+    if stitch:
+        blk_a = 0 if dh > 0 else -1
+
+        def mk(rz, rb):
+            def imap(bb, zz, hh, rz=rz, rb=rb):
+                return (bb,
+                        ((wz * zz + rz + dz) // wz) % nz,
+                        (hh + blk_a + rb) % nblk,
+                        0, 1 - rz, 0)
+            return pl.BlockSpec((1, 1, gh, nlon, n // 2, c), imap,
+                                memory_space=pltpu.VMEM)
+
+        # order: (z-half 0: blkA, blkB), (z-half 1: blkA, blkB)
+        x_specs = [mk(rz, rb) for rz in range(2) for rb in range(2)]
+        n_x = 4
+    else:
+        x_specs = [pl.BlockSpec((1, 1, gh, nlon, n, c),
+                                lambda bb, zz, hh: (bb, zz, hh, 0, 0, 0),
+                                memory_space=pltpu.VMEM)]
+        n_x = 1
+
+    dt = xs.dtype
+    wqkv = p["attn"]["qkv"]["kernel"].astype(dt)
+    bqkv = p["attn"]["qkv"]["bias"].astype(dt)
+    wp = p["attn"]["proj"]["kernel"].astype(dt)
+    bp = p["attn"]["proj"]["bias"].astype(dt)
+    bias = p["attn"]["bias_table"]
+
+    spec_b = pl.BlockSpec((gh, heads, n, n),
+                          lambda bb, zz, hh: (zz * nblk + hh, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def fullspec(shape):
+        return pl.BlockSpec(shape, lambda bb, zz, hh: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    operands = [xs] * n_x + [wqkv, bqkv, wp, bp, bias]
+    in_specs = x_specs + [fullspec(wqkv.shape), fullspec(bqkv.shape),
+                          fullspec(wp.shape), fullspec(bp.shape), spec_b]
+    if mask is not None:
+        operands.append(mask.reshape(mask.shape[0], 1, n))
+        in_specs.append(pl.BlockSpec(
+            (gh, 1, n), lambda bb, zz, hh: (zz * nblk + hh, 0, 0),
+            memory_space=pltpu.VMEM))
+    if drop is not None:
+        operands.append(drop.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec(
+            (1, 2), lambda bb, zz, hh: (bb, 0),
+            memory_space=pltpu.SMEM))
+
+    tail = [p["norm1"]["scale"].astype(dt), p["norm1"]["bias"].astype(dt),
+            p["norm2"]["scale"].astype(dt), p["norm2"]["bias"].astype(dt),
+            p["mlp"]["fc1"]["kernel"].astype(dt),
+            p["mlp"]["fc1"]["bias"].astype(dt),
+            p["mlp"]["fc2"]["kernel"].astype(dt),
+            p["mlp"]["fc2"]["bias"].astype(dt)]
+    hidden = tail[4].shape[-1]
+    operands += tail
+    in_specs += [fullspec((c,)), fullspec((c,)), fullspec((c,)),
+                 fullspec((c,)), fullspec((c, hidden)), fullspec((hidden,)),
+                 fullspec((hidden, c)), fullspec((c,))]
+
+    out_spec = pl.BlockSpec((1, 1, gh, nlon, n, c),
+                            lambda bb, zz, hh: (bb, zz, hh, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    scratch = [pltpu.VMEM((gh * nlon, n, 3 * c), dt),
+               pltpu.VMEM((gh * nlon, n, c), dt)]
+
+    return pl.pallas_call(
+        _make_wm_group_kernel(heads, hd, geom.window, nlon, c, gh, geom.h,
+                              hp, delta, canon_add, mask is not None,
+                              fast_math, drop is not None, chunk_target),
+        out_shape=jax.ShapeDtypeStruct(xs.shape, dt),
+        grid=(b, nz, nblk),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=128 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nz * nlat * nlon * n * c * (4 * c + 2 * n + 8 * c),
+            bytes_accessed=2 * xs.size * dt.itemsize
+            + bias.size * bias.dtype.itemsize,
+            transcendentals=b * nz * nlat * nlon * heads * n * n),
+    )(*operands)

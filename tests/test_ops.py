@@ -698,3 +698,28 @@ def test_down_up_sample_wm_match_xla():
     got_u = from_window_major(got_u, g3.window)[:, :, :g3.h]
     np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
                                atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("stage_idx,gh", [(0, 3), (1, 2)])
+def test_run_stage_wm_lat_group_matches(stage_idx, gh):
+    """Lat-grouped interior wm kernels (gh windows per program, adjacent-
+    block stitch pairs) == the ungrouped wm chain, including shifted
+    blocks and the single-block wrap (nblk small)."""
+    from pangu_tpu.config import TINY
+    from pangu_tpu.models import pangu
+    from pangu_tpu.ops.earth_block_wm import run_stage_wm
+
+    cfg = TINY
+    geom = cfg.stage(stage_idx)
+    params = pangu.init_params(jax.random.PRNGKey(stage_idx), cfg)
+    blocks = params["stages"][stage_idx]["blocks"]
+    stage_params = {"blocks": (blocks * 2)[:4]}
+
+    x = jnp.asarray(RNG.normal(
+        size=(2, geom.z, geom.h, geom.w, geom.dim)).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        want = run_stage_wm(stage_params, x, geom, lat_group=1)
+        got = run_stage_wm(stage_params, x, geom, lat_group=gh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-5)
