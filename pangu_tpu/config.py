@@ -99,9 +99,13 @@ class ModelConfig:
                                 # with per-block custom_vjp remat backward
     lon_chunk: int = 10         # lon windows per attention dot_general
                                 # batch dim inside the block kernels
-    lat_group: int = 4          # lat windows per program in interior
+    lat_group: int = 1          # lat windows per program in interior
                                 # wm->wm block kernels (largest divisor
-                                # of nlat <= this is used; 1 disables)
+                                # of nlat <= this is used; 1 disables).
+                                # Default OFF until hardware-verified:
+                                # interpret mode accepts kernels real
+                                # Mosaic rejects (scripts/latgroup_ab.py
+                                # is the compile-check + A/B)
     attn_unroll: bool = False   # fully unroll the kernels' lon loop
     grid_bwd: str = "pallas"    # grid-attention backward: "pallas" (one
                                 # fused kernel) | "xla" (vjp composition)
