@@ -40,7 +40,6 @@ projection (reference re-pads zeros each block, layers.py:192).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -25,7 +25,6 @@ keeps canonical stage boundaries and ops/updown.py's custom_vjp kernels.
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
