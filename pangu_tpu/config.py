@@ -301,7 +301,9 @@ MID = ModelConfig(
     levels=13,
     lat=241,
     lon=480,
-    depths=(2, 4, 4, 2),
+    depths=(2, 2, 2, 2),   # enough blocks per stage to exercise the
+                           # shifted/unshifted alternation; keeps the
+                           # driver's CPU dry-run compile bounded
     heads=(4, 8, 8, 4),
     dims=(48, 96, 96, 48),
     remat=False,
