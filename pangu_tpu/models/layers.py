@@ -136,13 +136,14 @@ def patch_embed(p, upper, surface, constants, cfg: ModelConfig,
     dtype = upper.dtype
 
     # ---- upper-air branch ------------------------------------------------
+    # the constant channel (const_h) gets its OWN tiny convolution and is
+    # added to the variable conv: the conv is linear, so this is exactly
+    # conv(concat(vars, const)) — but the (B, 6, L, lat, lon) concat copy
+    # never materialises (at batch 4 XLA picked a 21x-padded layout for
+    # it, 12.9 GB for 618 MB of data)
     um = constants["upper_mean"].astype(dtype)
     us = constants["upper_std"].astype(dtype)
     up = (upper - um[None]) / us[None]
-    const_h = jnp.broadcast_to(
-        constants["const_h"].astype(dtype)[None, None],
-        (B, 1, cfg.levels, cfg.lat, cfg.lon))
-    up = jnp.concatenate([up, const_h], axis=1)          # (B, 6, L, lat, lon)
     up = jnp.pad(up, ((0, 0), (0, 0),
                       (0, cfg.levels_padded - cfg.levels),
                       (0, cfg.lat_padded - cfg.lat), (0, 0)))
@@ -154,10 +155,18 @@ def patch_embed(p, upper, surface, constants, cfg: ModelConfig,
     wu = p["upper"]["kernel"].astype(dtype)
     wu = wu.reshape(V1, pz, ph, pw, cfg.dims[0]).transpose(4, 0, 1, 2, 3)
     xu = jax.lax.conv_general_dilated(
-        up, wu, window_strides=(pz, ph, pw), padding="VALID",
-        dimension_numbers=("NCDHW", "OIDHW", "NDHWC"),
+        up, wu[:, :cfg.upper_vars], window_strides=(pz, ph, pw),
+        padding="VALID", dimension_numbers=("NCDHW", "OIDHW", "NDHWC"),
         precision=precision)
-    xu = xu + p["upper"]["bias"].astype(dtype)           # (B, ZP, H, W, C)
+    const_h = jnp.pad(constants["const_h"].astype(dtype)[None, None],
+                      ((0, 0), (0, 0),
+                       (0, cfg.levels_padded - cfg.levels),
+                       (0, cfg.lat_padded - cfg.lat), (0, 0)))
+    cu = jax.lax.conv_general_dilated(
+        const_h, wu[:, cfg.upper_vars:], window_strides=(pz, ph, pw),
+        padding="VALID", dimension_numbers=("NCDHW", "OIDHW", "NDHWC"),
+        precision=precision)
+    xu = xu + cu + p["upper"]["bias"].astype(dtype)      # (B, ZP, H, W, C)
 
     # ---- surface branch --------------------------------------------------
     sm = constants["surface_mean"].astype(dtype)
@@ -165,18 +174,19 @@ def patch_embed(p, upper, surface, constants, cfg: ModelConfig,
     sf = (surface - sm[None]) / ss[None]
     sf = jnp.pad(sf, ((0, 0), (0, 0),
                       (0, cfg.lat_padded - cfg.lat), (0, 0)))
-    masks = jnp.broadcast_to(
-        constants["surface_masks"].astype(dtype)[None],
-        (B, cfg.const_masks, cfg.lat_padded, cfg.lon))
-    sf = jnp.concatenate([sf, masks], axis=1)            # (B, 7, latp, lon)
     SM = cfg.surface_vars + cfg.const_masks
     ws = p["surface"]["kernel"].astype(dtype)
     ws = ws.reshape(SM, ph, pw, cfg.dims[0]).transpose(3, 0, 1, 2)
     xs = jax.lax.conv_general_dilated(
-        sf, ws, window_strides=(ph, pw), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NHWC"),
+        sf, ws[:, :cfg.surface_vars], window_strides=(ph, pw),
+        padding="VALID", dimension_numbers=("NCHW", "OIHW", "NHWC"),
         precision=precision)
-    xs = (xs + p["surface"]["bias"].astype(dtype))[:, None]  # (B, 1, H, W, C)
+    cs = jax.lax.conv_general_dilated(
+        constants["surface_masks"].astype(dtype)[None],
+        ws[:, cfg.surface_vars:], window_strides=(ph, pw),
+        padding="VALID", dimension_numbers=("NCHW", "OIHW", "NHWC"),
+        precision=precision)
+    xs = (xs + cs + p["surface"]["bias"].astype(dtype))[:, None]
 
     # surface plane is token plane 0, upper planes follow (layers.py:89)
     return jnp.concatenate([xs, xu], axis=1)
