@@ -9,41 +9,134 @@ rollout (lax.scan with donated state) on fresh inputs — chained data
 dependencies make every step's work real (no result caching) and this is
 the serving-relevant access pattern (inference/inference_singleOutput.py's
 multi-day loop in the reference).
+
+Outage hardening (the TPU tunnel has documented multi-hour outages where
+backend init hangs ~20-25 min): the parent process NEVER imports jax.
+It first probes the backend in a strictly timeout-bounded subprocess;
+if the probe can't produce a backend inside PROBE_TIMEOUT_S (twice),
+it prints a structured error JSON and exits — total wall clock on the
+outage path is ~5 minutes, never a driver-side rc=124. Measurement
+attempts are each bounded too, with a cheap re-probe between retries.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import subprocess
 import sys
 import time
 
-import numpy as np
-
 BASELINE_MS = 150.0
 STEPS = 10
-ATTEMPTS = 4   # libtpu bring-up occasionally flakes ("could not determine
-               # TPU accelerator type"); each attempt is a fresh process
+PROBE_TIMEOUT_S = 150      # backend init hangs ~20 min when the tunnel is
+                           # down; a healthy init answers in < 30 s
+ATTEMPT_TIMEOUT_S = 1500   # covers a cold ~7-min kernel compile + measure
+RETRY_TIMEOUT_S = 900      # retries start from a warm compile cache
+
+_METRIC = "pangu24_forward_step_latency"
 
 
-def main_with_retries():
-    """Run the measurement in a subprocess, retrying on TPU bring-up
-    flakes. A failed jax backend init poisons the process, so each
-    attempt must be a fresh interpreter."""
-    for attempt in range(ATTEMPTS):
-        proc = subprocess.run([sys.executable, __file__, "--run"],
-                              capture_output=True, text=True)
-        line = next((ln for ln in proc.stdout.splitlines()
-                     if ln.startswith('{"metric"')), None)
-        if proc.returncode == 0 and line:
-            print(line)
-            return 0
-        sys.stderr.write(f"[bench] attempt {attempt + 1}/{ATTEMPTS} failed "
-                         f"(rc={proc.returncode})\n")
-        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:] + "\n")
-        time.sleep(5 * (attempt + 1))
-    return 1
+def _error_json(msg: str) -> str:
+    return json.dumps({"metric": _METRIC, "value": None, "unit": "ms",
+                       "vs_baseline": None, "error": msg})
+
+
+def probe_backend(timeout_s: float) -> str | None:
+    """Ask a fresh interpreter for jax.default_backend(), hard-bounded.
+    Returns the backend name, or None on timeout/failure."""
+    code = "import jax; print('BACKEND=' + jax.default_backend())"
+    try:
+        proc = subprocess.run([sys.executable, "-u", "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    for ln in proc.stdout.splitlines():
+        if ln.startswith("BACKEND="):
+            return ln.split("=", 1)[1].strip()
+    return None
+
+
+def main_with_retries() -> int:
+    """Probe-gated, wall-clock-bounded measurement. Always prints exactly
+    one JSON line (result or structured error) before returning."""
+    t_start = time.monotonic()
+    backend = probe_backend(PROBE_TIMEOUT_S)
+    if backend is None:
+        sys.stderr.write("[bench] backend probe 1 failed; re-probing\n")
+        backend = probe_backend(PROBE_TIMEOUT_S)
+    if backend is None:
+        print(_error_json(
+            f"jax backend unavailable: two init probes exceeded "
+            f"{PROBE_TIMEOUT_S}s each (TPU tunnel outage?)"))
+        return 0
+    sys.stderr.write(f"[bench] backend={backend}\n")
+
+    last_failure = "unknown"
+    for attempt in range(3):
+        budget = ATTEMPT_TIMEOUT_S if attempt == 0 else RETRY_TIMEOUT_S
+        try:
+            proc = subprocess.run([sys.executable, "-u", __file__, "--run"],
+                                  capture_output=True, text=True,
+                                  timeout=budget)
+        except subprocess.TimeoutExpired as e:
+            tail = ((e.stdout or b"")[-2000:] if isinstance(e.stdout, bytes)
+                    else (e.stdout or "")[-2000:])
+            sys.stderr.write(f"[bench] attempt {attempt + 1} timed out after "
+                             f"{budget}s; partial output: {tail}\n")
+            last_failure = f"attempt timed out after {budget}s"
+            proc = None
+        if proc is not None:
+            line = next((ln for ln in proc.stdout.splitlines()
+                         if ln.startswith('{"metric"')), None)
+            if proc.returncode == 0 and line:
+                print(line)
+                return 0
+            sys.stderr.write(
+                f"[bench] attempt {attempt + 1} failed (rc={proc.returncode})\n"
+                + proc.stdout[-2000:] + proc.stderr[-4000:] + "\n")
+            last_failure = f"measurement rc={proc.returncode}"
+        # before burning another long attempt, confirm the backend is
+        # still reachable with a cheap bounded probe
+        if attempt < 2:
+            if probe_backend(120) is None:
+                print(_error_json(
+                    f"backend lost mid-run ({last_failure}); re-probe "
+                    f"timed out"))
+                return 0
+            time.sleep(5)
+    elapsed = time.monotonic() - t_start
+    print(_error_json(
+        f"all 3 measurement attempts failed ({last_failure}); "
+        f"{elapsed:.0f}s elapsed"))
+    return 0
+
+
+def _timed(fn, fresh_fn, n_iters: int, per_step_div: float) -> list:
+    """Time fn on fresh inputs n_iters times; returns per-step ms list."""
+    import jax
+    out = []
+    for t in range(n_iters):
+        args = fresh_fn(1000 + t)
+        jax.block_until_ready(args)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        out.append((time.perf_counter() - t0) / per_step_div * 1e3)
+    return out
+
+
+def _best_valid(times: list, retime, label: str):
+    """Drop sub-5 ms artifacts (the backend caches repeated dispatch when
+    recycled donated buffer addresses match — a cached run returns ~0 ms;
+    the real floor is ~50 ms of HBM traffic). If EVERY sample is filtered,
+    re-measure once with more iterations; if still none valid, return
+    None rather than reporting a value we just classified as invalid."""
+    valid = [t for t in times if t > 5.0]
+    if not valid:
+        sys.stderr.write(f"[bench] {label}: all {len(times)} samples were "
+                         f"cached-dispatch artifacts; re-measuring\n")
+        valid = [t for t in retime() if t > 5.0]
+    return min(valid) if valid else None
 
 
 def main():
@@ -64,7 +157,10 @@ def main():
     except Exception:
         pass
 
+    import dataclasses
+
     import jax.numpy as jnp
+    import numpy as np
 
     from pangu_tpu.config import PANGU_24
     from pangu_tpu.data.constants import synthetic_constants
@@ -82,55 +178,7 @@ def main():
     # steps (engine/transition.py) — 220 -> 171 ms/step on v5e
     roll = make_rollout(cfg, constants, STEPS, token_space=True)
 
-    def fresh(seed):
-        r = np.random.default_rng(seed)
-        return (jnp.asarray(r.normal(size=(1, cfg.upper_vars, cfg.levels,
-                                           cfg.lat, cfg.lon)
-                                     ).astype(np.float32)),
-                jnp.asarray(r.normal(size=(1, cfg.surface_vars, cfg.lat,
-                                           cfg.lon)).astype(np.float32)))
-
-    u, s = fresh(0)
-    jax.block_until_ready(roll(params, u, s))   # compile + warm
-
-    times = []
-    for t in range(3):
-        u, s = fresh(t + 1)
-        jax.block_until_ready((u, s))
-        t0 = time.perf_counter()
-        out = roll(params, u, s)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / STEPS * 1e3)
-    # the backend caches repeated dispatches when recycled (donated)
-    # buffer addresses match — a cached attempt returns in ~0 ms; treat
-    # sub-5 ms "steps" as artifacts (real floor is ~50 ms of HBM traffic)
-    valid = [t for t in times if t > 5.0]
-    best = min(valid) if valid else min(times)
-
-    # ---- secondary metric: COLD single 24h step (BASELINE.json config 1:
-    # "single 24h forecast step") — includes patch embed + recovery, which
-    # the token-space rollout legitimately amortises away. Fresh inputs
-    # every call so no dispatch result is cached.
-    from pangu_tpu.models.pangu import forward
-    step = jax.jit(lambda p, uu, ss: forward(p, uu, ss, constants, cfg))
-    u, s = fresh(100)
-    jax.block_until_ready(step(params, u, s))   # compile + warm
-    stimes = []
-    for t in range(3):
-        u, s = fresh(101 + t)
-        jax.block_until_ready((u, s))
-        t0 = time.perf_counter()
-        jax.block_until_ready(step(params, u, s))
-        stimes.append((time.perf_counter() - t0) * 1e3)
-    svalid = [t for t in stimes if t > 5.0]
-    single = min(svalid) if svalid else min(stimes)
-
-    # ---- secondary metric: batch-4 rollout throughput (steps/sec/chip,
-    # the BASELINE.json metric name) -------------------------------------
-    batch = 4
-    roll_b = make_rollout(cfg, constants, STEPS, token_space=True)
-
-    def fresh_b(seed):
+    def fresh(seed, batch=1):
         r = np.random.default_rng(seed)
         return (jnp.asarray(r.normal(size=(batch, cfg.upper_vars, cfg.levels,
                                            cfg.lat, cfg.lon)
@@ -138,27 +186,47 @@ def main():
                 jnp.asarray(r.normal(size=(batch, cfg.surface_vars, cfg.lat,
                                            cfg.lon)).astype(np.float32)))
 
-    ub, sb = fresh_b(200)
+    jax.block_until_ready(roll(params, *fresh(0)))   # compile + warm
+    # params stay a call ARGUMENT (closing over them would inline them
+    # into the compiled program as literals — see __graft_entry__.entry)
+    rollfn = lambda u, s: roll(params, u, s)
+    best = _best_valid(_timed(rollfn, fresh, 3, STEPS),
+                       lambda: _timed(rollfn, fresh, 5, STEPS), "rollout")
+
+    # ---- secondary metric: COLD single 24h step (BASELINE.json config 1:
+    # "single 24h forecast step") — includes patch embed + recovery, which
+    # the token-space rollout legitimately amortises away. Fresh inputs
+    # every call so no dispatch result is cached.
+    from pangu_tpu.models.pangu import forward
+    jstep = jax.jit(lambda p, uu, ss, c: forward(p, uu, ss, c, cfg))
+    step = lambda uu, ss: jstep(params, uu, ss, constants)
+    jax.block_until_ready(step(*fresh(100)))         # compile + warm
+    single = _best_valid(_timed(step, fresh, 3, 1.0),
+                         lambda: _timed(step, fresh, 5, 1.0), "single")
+
+    # ---- secondary metric: batch-4 rollout throughput (steps/sec/chip,
+    # the BASELINE.json metric name) -------------------------------------
+    batch = 4
+    fresh_b = lambda seed: fresh(seed + 5000, batch=batch)
     try:
-        jax.block_until_ready(roll_b(params, ub, sb))
-        bt = float("inf")
-        for t in range(2):
-            ub, sb = fresh_b(201 + t)
-            jax.block_until_ready((ub, sb))
-            t0 = time.perf_counter()
-            jax.block_until_ready(roll_b(params, ub, sb))
-            bt = min(bt, (time.perf_counter() - t0) / STEPS * 1e3)
-        batch4_sps = batch / (bt / 1e3)
-    except Exception as e:  # OOM at batch 4 would kill the primary metric
+        jax.block_until_ready(roll(params, *fresh_b(0)))
+        bt = _best_valid(_timed(rollfn, fresh_b, 2, STEPS),
+                         lambda: _timed(rollfn, fresh_b, 3, STEPS), "batch4")
+        batch4_sps = None if bt is None else batch / (bt / 1e3)
+    except Exception as e:  # OOM at batch 4 must not kill the primary metric
         sys.stderr.write(f"[bench] batch-{batch} rollout failed: {e}\n")
         batch4_sps = None
 
+    if best is None:
+        print(_error_json("no valid rollout timing samples (all filtered "
+                          "as cached-dispatch artifacts)"))
+        return
     print(json.dumps({
-        "metric": "pangu24_forward_step_latency",
+        "metric": _METRIC,
         "value": round(best, 2),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / best, 3),
-        "single_step_cold_ms": round(single, 2),
+        "single_step_cold_ms": (None if single is None else round(single, 2)),
         "batch4_steps_per_sec_chip": (None if batch4_sps is None
                                       else round(batch4_sps, 2)),
     }))

@@ -50,10 +50,10 @@ def main(argv=None):
             if args.limit and i >= args.limit:
                 break
             starts, targets = b["times"]
-            # batch 1 keeps the reference's scalar row key; batch > 1
-            # passes the per-sample target list through to the CSV rows
-            b["times"] = ((starts[0], targets[0]) if len(targets) == 1
-                          else (list(starts), list(targets)))
+            # always per-sample target lists so CSV row keys stay in one
+            # format across the sweep (a trailing 1-sample batch under
+            # drop_last=False must not flip representation mid-run)
+            b["times"] = (list(starts), list(targets))
             yield b
 
     with jax.set_mesh(mesh):

@@ -18,8 +18,10 @@ utils_data.py:54-211) with a TPU-first loader:
 
 from __future__ import annotations
 
+import collections
 import concurrent.futures as cf
 import dataclasses
+import itertools
 import os
 import queue
 import threading
@@ -299,13 +301,28 @@ class Loader:
         def producer():
             pool = cf.ThreadPoolExecutor(self.num_workers)
             try:
-                futures = [pool.submit(self.dataset.__getitem__, i)
-                           for i in indices]
+                # Bounded in-flight window. Submitting every index up front
+                # would let the pool keep completing futures whose results
+                # (~0.5 GB per full-size sample pair) accumulate inside the
+                # Future objects while the consumer is slow — O(dataset)
+                # host RSS over a multi-year epoch. Cap outstanding work at
+                # the pool width plus the output queue's worth of batches.
+                window = self.num_workers + self.prefetch * self.batch_size
+                index_iter = iter(indices)
+                pending = collections.deque(
+                    pool.submit(self.dataset.__getitem__, i)
+                    for i in itertools.islice(index_iter, window))
                 group = []
-                for fut in futures:
+                while pending:
                     if stop.is_set():
                         return
-                    group.append(fut.result())
+                    fut = pending.popleft()
+                    result = fut.result()
+                    nxt = next(index_iter, None)
+                    if nxt is not None:
+                        pending.append(
+                            pool.submit(self.dataset.__getitem__, nxt))
+                    group.append(result)
                     if len(group) == self.batch_size:
                         batch = batch_samples(group)
                         if self.shard_fn is not None:

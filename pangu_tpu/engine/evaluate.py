@@ -99,20 +99,41 @@ def evaluate(params, batches: Iterable, cfg: Config, constants, *,
     tables: Dict[str, Dict[str, np.ndarray]] = {n: {} for n in names}
 
     png_path = os.path.join(res_path, "png")
+    traced_b: Optional[int] = None   # leading shape score_step compiled for
     for i, batch in enumerate(batches):
-        scores, (out_u, out_s) = score_step(
-            params, batch["upper"], batch["surface"],
-            batch["target_upper"], batch["target_surface"])
         B = int(np.asarray(batch["surface"]).shape[0])
+        if traced_b is None:
+            traced_b = B
+        if B < traced_b:
+            # final partial batch (drop_last=False): pad by repeating the
+            # last sample up to the traced batch size instead of retracing
+            # + recompiling the whole forward for one batch (minutes at
+            # full geometry); padded rows are sliced away below via B
+            pad = traced_b - B
+
+            def _pad(a):
+                a = np.asarray(a)
+                return np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+
+            fields = tuple(_pad(batch[k]) for k in
+                           ("upper", "surface", "target_upper",
+                            "target_surface"))
+        else:
+            fields = (batch["upper"], batch["surface"],
+                      batch["target_upper"], batch["target_surface"])
+        scores, (out_u, out_s) = score_step(params, *fields)
         target_time = batch.get("times", (str(i), str(i)))[1]
         # per-sample CSV rows: "times" may carry one timestamp per sample
         # (batch > 1) or a single string (batch 1, the reference setup)
         if isinstance(target_time, (tuple, list)):
-            row_keys = [str(t) for t in target_time][:B]
+            row_keys = [str(t) for t in target_time]
         else:
             row_keys = [str(target_time)]
-        while len(row_keys) < B:
-            row_keys.append(f"{row_keys[0]}+{len(row_keys)}")
+        if len(row_keys) != B:
+            raise ValueError(
+                f"batch {i} carries {B} samples but {len(row_keys)} target "
+                f"timestamps — refusing to synthesize CSV row keys (rows "
+                f"would be silently mislabelled)")
         if logger is not None:
             logger.info(f"predict on {i} -> {row_keys[0]}")
         for name in names:

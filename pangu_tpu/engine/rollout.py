@@ -222,6 +222,7 @@ def make_hierarchical_rollout(cfg: ModelConfig, constants,
     single-model path (shared ERA5 statistics)."""
     from pangu_tpu.engine.transition import apply_transition, build_transition
     from pangu_tpu.models import layers as L
+    from pangu_tpu.parallel.sharding import shard_tokens
 
     schedule = greedy_schedule(horizon, model_horizons)
     # group consecutive equal horizons: [24,24,6,3] -> [(24,2),(6,1),(3,1)]
@@ -257,10 +258,16 @@ def make_hierarchical_rollout(cfg: ModelConfig, constants,
             from pangu_tpu.ops.earth_block_wm import (from_window_major,
                                                       to_window_major)
             geom = cfg.stage(0)
-        x = _embed_per_sample(
+        # on the canonical-layout branch, pin the carried token grid's
+        # sharding at every chain point (embed output + each transition
+        # result), exactly like make_rollout.rollout_tokens — without it
+        # GSPMD may replicate the full token state per device under a
+        # dp/sp mesh. The wm layout has its own per-kernel sharding story.
+        st = (lambda t: t) if use_wm else shard_tokens
+        x = st(_embed_per_sample(
             lambda u, s: L.patch_embed(p0["patch_embed"], u, s, constants,
                                        cfg, precision),
-            upper.astype(cdt), surface.astype(cdt))
+            upper.astype(cdt), surface.astype(cdt)))
         if use_wm:
             x = to_window_major(
                 jnp.pad(x, ((0, 0), (0, 0),
@@ -286,14 +293,14 @@ def make_hierarchical_rollout(cfg: ModelConfig, constants,
                 tp_self = build(params, constants, cfg)
 
                 def body(xx, _, params=params, tp=tp_self):
-                    return trans(tp, core(params, xx)), None
+                    return st(trans(tp, core(params, xx))), None
 
                 x, _ = jax.lax.scan(body, x, None, length=count - 1)
             x_cat = core(params, x)
             if gi < len(groups) - 1:
                 nxt = params_by_horizon[groups[gi + 1][0]]
                 tp_cross = build(params, constants, cfg, embed_params=nxt)
-                x = trans(tp_cross, x_cat)
+                x = st(trans(tp_cross, x_cat))
             else:
                 def recover(xc, params=params):
                     out_u, out_s = L.patch_recovery(

@@ -206,6 +206,49 @@ def test_fastpack_native_kernels():
                                atol=1e-5)
 
 
+def test_loader_bounded_in_flight_decodes():
+    """A slow consumer must backpressure the DECODERS, not just the queue:
+    with an up-front submit of every index, the worker pool keeps
+    completing futures whose results (~0.5 GB each at full size) pile up
+    in host RAM — O(dataset). The bounded in-flight window keeps retained
+    decoded-but-unconsumed samples at O(num_workers + prefetch·batch)."""
+    import threading
+    import time as _time
+
+    dcfg = DataConfig(train_start="20150101", train_end="20150420",
+                      train_freq="24h", horizon=24)  # ~105 samples
+    base = era5.SyntheticEra5Dataset(dcfg, "train", mcfg=TINY)
+    assert len(base) >= 100
+
+    lock = threading.Lock()
+    state = {"decoded": 0, "consumed": 0, "peak": 0}
+
+    class Tracking:
+        def __len__(self):
+            return len(base)
+
+        def __getitem__(self, i):
+            s = base[i]
+            with lock:
+                state["decoded"] += 1
+                state["peak"] = max(state["peak"],
+                                    state["decoded"] - state["consumed"])
+            return s
+
+    loader = era5.Loader(Tracking(), batch_size=1, num_workers=4, prefetch=2)
+    for _ in loader.epoch(0):
+        _time.sleep(0.01)  # slow consumer: decoders outrun it ~100x
+        with lock:
+            state["consumed"] += 1
+    assert state["decoded"] == len(base)
+    # window (workers + prefetch·batch) + queued batches + one in assembly,
+    # plus slack for samples counted decoded before their future is drained
+    bound = (4 + 2 * 1) + 2 + 1 + 4
+    assert state["peak"] <= bound, (
+        f"peak in-flight decoded samples {state['peak']} > {bound}: "
+        f"decoder backpressure is broken (O(dataset) host RSS)")
+
+
 def test_loader_early_abandon_reaps_producer():
     """Abandoning an epoch iterator mid-way (--limit/--smoke) must not
     leak the producer thread: the bounded q_put re-checks the stop event

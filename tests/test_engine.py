@@ -105,6 +105,39 @@ def test_evaluate_sweep_writes_csvs(tmp_path):
     assert list(df.columns) == ["msl", "u10", "v10", "t2m"]
 
 
+def test_evaluate_partial_final_batch_pads_not_retraces(tmp_path):
+    """drop_last=False leaves a smaller final batch: evaluate() must pad it
+    to the traced batch size (one compile for the whole sweep) and emit
+    exactly the real rows; a sample-count/timestamp mismatch hard-errors
+    instead of synthesizing CSV row keys."""
+    import pytest
+
+    params, consts, upper, surface = _problem()
+    cfg = Config(model=CFG)
+    u2 = jnp.concatenate([upper, upper * 0.5])
+    s2 = jnp.concatenate([surface, surface * 0.5])
+
+    def batches():
+        yield {"upper": u2, "surface": s2, "target_upper": u2,
+               "target_surface": s2, "times": (["a", "b"], ["t0", "t1"])}
+        yield {"upper": upper, "surface": surface, "target_upper": upper,
+               "target_surface": surface, "times": (["c"], ["t2"])}
+
+    tables = E.evaluate(params, batches(), cfg, consts,
+                        res_path=str(tmp_path), visualize=False)
+    assert sorted(tables["rmse_upper_z"].keys()) == ["t0", "t1", "t2"]
+    # the padded row must NOT leak into the tables, and the 1-sample batch
+    # must score identically to its batch-2 twin (same inputs -> same row)
+    np.testing.assert_allclose(tables["rmse_upper_z"]["t2"],
+                               tables["rmse_upper_z"]["t0"], rtol=1e-5)
+
+    bad = [{"upper": u2, "surface": s2, "target_upper": u2,
+            "target_surface": s2, "times": (["a"], ["t0"])}]
+    with pytest.raises(ValueError, match="row keys"):
+        E.evaluate(params, bad, cfg, consts, res_path=str(tmp_path),
+                   visualize=False)
+
+
 def test_evaluate_visualization(tmp_path):
     params, consts, upper, surface = _problem()
     cfg = Config(model=CFG)
