@@ -99,13 +99,16 @@ class ModelConfig:
                                 # with per-block custom_vjp remat backward
     lon_chunk: int = 10         # lon windows per attention dot_general
                                 # batch dim inside the block kernels
-    lat_group: int = 1          # lat windows per program in interior
+    lat_group: int = 2          # lat windows per program in interior
                                 # wm->wm block kernels (largest divisor
                                 # of nlat <= this is used; 1 disables).
-                                # Default OFF until hardware-verified:
-                                # interpret mode accepts kernels real
-                                # Mosaic rejects (scripts/latgroup_ab.py
-                                # is the compile-check + A/B)
+                                # Hardware-verified 2026-08-18
+                                # (scripts/latgroup_ab.py on v5e: gh=2
+                                # exact match, 81.1 -> 79.4 ms per 12
+                                # stage-1 blocks; gh=4 exceeds the 128 MB
+                                # VMEM budget — real Mosaic rejects it).
+                                # Stages with prime nlat (0/3 at full
+                                # geometry) auto-fall back to gh=1
     attn_unroll: bool = False   # fully unroll the kernels' lon loop
     grid_bwd: str = "pallas"    # grid-attention backward: "pallas" (one
                                 # fused kernel) | "xla" (vjp composition)

@@ -164,10 +164,79 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
         return _recover_per_sample(recover, (canon(skip, off),
                                              canon(dec, off)))
 
+    def rollout_tokens_wm_sharded(params, upper, surface, constants, mesh):
+        """The all-wm chained rollout per (dp, sp) shard: ONE shard_map
+        wraps the whole scan, so the carried wm state stays resident per
+        shard across steps and the only cross-shard traffic is the
+        shifted blocks' lon-halo ppermute (VERDICT round-2 item 6)."""
+        from jax.sharding import PartitionSpec as P
+
+        from pangu_tpu.engine.transition_wm import (apply_transition_wm,
+                                                    build_transition_wm)
+        from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                                  to_window_major)
+
+        geom = cfg.stage(0)
+        sp_size = dict(mesh.shape)["sp"]
+        cdt = jnp.dtype(cfg.compute_dtype)
+        tp = build_transition_wm(params, constants, cfg)
+        tpd = {k: tp[k] for k in ("bias_field_wm", "M_s", "M_sh", "M_u",
+                                  "M_uh", "M_uz", "M_uzh")}
+        tpd_specs = {k: (P(None, None, None, "sp", None, None)
+                         if k == "bias_field_wm" else P())
+                     for k in tpd}
+
+        from pangu_tpu.parallel.sharding import shard_tokens
+        x = shard_tokens(_embed_per_sample(
+            lambda u, s: L.patch_embed(params["patch_embed"], u, s,
+                                       constants, cfg, precision),
+            upper.astype(cdt), surface.astype(cdt)))
+
+        tok = jax.sharding.PartitionSpec("dp", None, None, "sp", None)
+
+        def scan_trunk(p, tpl, xc):
+            xs = to_window_major(
+                jnp.pad(xc, ((0, 0), (0, 0),
+                             (0, geom.h_padded - xc.shape[2]),
+                             (0, 0), (0, 0))), geom.window)
+
+            def body(xs, _):
+                skip, dec, off = pangu.forward_core_wm(
+                    p, xs, cfg, sp_axis="sp", sp_size=sp_size)
+                return apply_transition_wm(tpl, skip, dec, geom, off), None
+
+            xs, _ = jax.lax.scan(body, xs, None, length=steps - 1)
+            skip, dec, off = pangu.forward_core_wm(
+                p, xs, cfg, sp_axis="sp", sp_size=sp_size)
+
+            def canon_l(t):
+                t = from_window_major(t, geom.window)
+                return jnp.roll(t, off[:2], axis=(1, 2))[:, :, :geom.h]
+
+            return canon_l(skip), canon_l(dec)
+
+        skip, dec = jax.shard_map(
+            scan_trunk, mesh=mesh,
+            in_specs=(jax.sharding.PartitionSpec(), tpd_specs, tok),
+            out_specs=(tok, tok), check_vma=False)(params, tpd, x)
+
+        def recover(x_cat):
+            out_u, out_s = L.patch_recovery(params["patch_recovery"], x_cat,
+                                            cfg, precision)
+            return denorm_data(out_u, out_s, constants)
+
+        return _recover_per_sample(recover, (skip, dec))
+
     def rollout_tokens_dispatch(params, upper, surface, constants):
         # structural, trace-time choice: all-wm chain when supported
         if pangu.wm_core_supported(params, cfg):
-            return rollout_tokens_wm(params, upper, surface, constants)
+            mesh = pangu.wm_core_mesh(cfg)
+            if mesh is None:
+                return rollout_tokens_wm(params, upper, surface, constants)
+            if (not return_trajectory
+                    and upper.shape[0] % dict(mesh.shape)["dp"] == 0):
+                return rollout_tokens_wm_sharded(params, upper, surface,
+                                                 constants, mesh)
         return rollout_tokens(params, upper, surface, constants)
 
     # constants enter the jit as a traced ARGUMENT: closing over the
@@ -250,8 +319,13 @@ def make_hierarchical_rollout(cfg: ModelConfig, constants,
         cdt = jnp.dtype(cfg.compute_dtype)
         p0 = params_by_horizon[groups[0][0]]
         # all-window-major when every model in the chain supports it
-        use_wm = all(pangu.wm_core_supported(params_by_horizon[h], cfg)
-                     for h, _ in groups)
+        # (single-device only here: the hierarchy chain is not
+        # shard_mapped — under a mesh the canonical branch below runs,
+        # whose per-stage dispatch still uses the sharded wm kernels)
+        from pangu_tpu.parallel.sharding import multi_device_mesh_active
+        use_wm = (not multi_device_mesh_active()
+                  and all(pangu.wm_core_supported(params_by_horizon[h], cfg)
+                          for h, _ in groups))
         if use_wm:
             from pangu_tpu.engine.transition_wm import (apply_transition_wm,
                                                         build_transition_wm)

@@ -181,6 +181,13 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
                     and stage_shardable(geom, shape, x.shape[0])):
                 # >1-device mesh: same kernels per (dp, sp) shard via
                 # shard_map; lon rolls become ppermute halo exchanges
+                if cfg.block_layout == "wm":
+                    from pangu_tpu.ops.earth_block_wm import \
+                        run_stage_wm_sharded
+                    return run_stage_wm_sharded(stage_params, x, geom, mesh,
+                                                fast_math=cfg.fast_math,
+                                                chunk_target=cfg.lon_chunk,
+                                                lat_group=cfg.lat_group)
                 return run_stage_fused_sharded(stage_params, x, geom, mesh,
                                                fast_math=cfg.fast_math,
                                                chunk_target=cfg.lon_chunk,
@@ -360,14 +367,16 @@ def forward_core(params, x, cfg: ModelConfig, *,
 
 def wm_core_supported(params, cfg: ModelConfig) -> bool:
     """True when the all-window-major trunk (forward_core_wm) applies:
-    pallas wm kernels, no LoRA leaves anywhere on the trunk, even stage
-    depths (so every stage ends at the same half-window offset), and a
-    single-device mesh (the wm kernels are not shard_mapped)."""
+    pallas wm kernels, no LoRA leaves anywhere on the trunk, and even
+    stage depths (so every stage ends at the same half-window offset).
+    Under a >1-device mesh the trunk runs per (dp, sp) shard via
+    shard_map (see :func:`wm_core_mesh`); tp or a non-divisible lon
+    extent falls back to the sharded v2/XLA paths."""
     from pangu_tpu.ops.earth_block_fused import stage_supports_fused
     from pangu_tpu.parallel.sharding import multi_device_mesh_active
     if cfg.attn_impl != "pallas" or cfg.block_layout != "wm":
         return False
-    if multi_device_mesh_active():
+    if multi_device_mesh_active() and wm_core_mesh(cfg) is None:
         return False
     if any(d % 2 for d in cfg.depths):
         return False
@@ -378,7 +387,24 @@ def wm_core_supported(params, cfg: ModelConfig) -> bool:
                 or "lora_a" in params["upsample"]["mix"])
 
 
-def forward_core_wm(params, xs, cfg: ModelConfig):
+def wm_core_mesh(cfg: ModelConfig):
+    """The active mesh when the all-wm trunk can run per (dp, sp) shard:
+    requires dp/sp axes, tp absent or 1, and every stage's longitude
+    windows divisible by sp. Returns None otherwise (or single-device)."""
+    mesh = jax.sharding.get_abstract_mesh()
+    shape = dict(getattr(mesh, "shape", {}) or {})
+    if not shape or all(s == 1 for s in shape.values()):
+        return None
+    if not {"dp", "sp"} <= set(shape) or shape.get("tp", 1) != 1:
+        return None
+    sp = shape["sp"]
+    if any(cfg.stage(i).num_lon_windows % sp for i in range(4)):
+        return None
+    return mesh
+
+
+def forward_core_wm(params, xs, cfg: ModelConfig, *,
+                    sp_axis: Optional[str] = None, sp_size: int = 1):
     """The encoder/decoder trunk entirely in window-major storage: stage
     chains keep wm io (zero relayout), DownSample/UpSample consume the
     rolled storage directly (ops/updown_wm.py) and the stage-end rolls
@@ -388,6 +414,12 @@ def forward_core_wm(params, xs, cfg: ModelConfig):
     by ``off`` (the autoregressive transition and the recovery fold the
     roll-back into their own reads).  Gate with :func:`wm_core_supported`.
 
+    Under ``shard_map`` with longitude windows sharded over ``sp_axis``,
+    xs is the LOCAL shard; the stage chains resolve each shifted block's
+    lon component via a ppermute halo (ops/earth_block_wm._lon_shift_wm),
+    so the returned ``off`` has lon component 0 and the down/up/recovery
+    consumers stitch only z/lat — no cross-shard reads.
+
     Same component order as the reference trunk
     (/root/reference/models/pangu_model.py:56-84)."""
     from pangu_tpu.ops.earth_block_wm import run_stage_wm
@@ -396,7 +428,8 @@ def forward_core_wm(params, xs, cfg: ModelConfig):
     g0, g1 = cfg.stage(0), cfg.stage(1)
     g2, g3 = cfg.stage(2), cfg.stage(3)
     kw = dict(fast_math=cfg.fast_math, chunk_target=cfg.lon_chunk,
-              io_layout="wm", lat_group=cfg.lat_group)
+              io_layout="wm", lat_group=cfg.lat_group,
+              sp_axis=sp_axis, sp_size=sp_size)
 
     skip, off0 = run_stage_wm(params["stages"][0], xs, g0, **kw)
     x = down_sample_wm(params["downsample"], skip, g0, g1, off0,
@@ -439,17 +472,56 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
         from pangu_tpu.ops.earth_block_wm import (from_window_major,
                                                   to_window_major)
         geom = cfg.stage(0)
-        xs = to_window_major(
-            jnp.pad(x, ((0, 0), (0, 0), (0, geom.h_padded - x.shape[2]),
-                        (0, 0), (0, 0))), geom.window)
-        skip, dec, off = forward_core_wm(params, xs, cfg)
+        from pangu_tpu.parallel.sharding import multi_device_mesh_active
+        mesh = wm_core_mesh(cfg)
+        wm_mesh_ok = (mesh is not None
+                      and x.shape[0] % dict(mesh.shape)["dp"] == 0)
+        if wm_mesh_ok:
+            # >1-device mesh: run the whole wm trunk per (dp, sp) shard —
+            # pad/to_wm/stages/down/up/canon are all lon-window-local,
+            # the only cross-shard traffic is the shifted blocks' lon
+            # halo ppermute inside run_stage_wm
+            from jax.sharding import PartitionSpec as P
 
-        def canon(t):
-            t = from_window_major(t, geom.window)
-            return jnp.roll(t, off, axis=(1, 2, 3))[:, :, :geom.h]
+            def trunk(p, xc):
+                xsl = to_window_major(
+                    jnp.pad(xc, ((0, 0), (0, 0),
+                                 (0, geom.h_padded - xc.shape[2]),
+                                 (0, 0), (0, 0))), geom.window)
+                sk, de, off = forward_core_wm(
+                    p, xsl, cfg, sp_axis="sp",
+                    sp_size=dict(mesh.shape)["sp"])
 
-        return L.patch_recovery(params["patch_recovery"],
-                                (canon(skip), canon(dec)), cfg, precision)
+                def canon_l(t):
+                    t = from_window_major(t, geom.window)
+                    # off has lon component 0 per-shard: local roll only
+                    return jnp.roll(t, off[:2],
+                                    axis=(1, 2))[:, :, :geom.h]
+
+                return canon_l(sk), canon_l(de)
+
+            spec = P("dp", None, None, "sp", None)
+            skip, dec = jax.shard_map(
+                trunk, mesh=mesh, in_specs=(P(), spec),
+                out_specs=(spec, spec), check_vma=False)(params, x)
+            return L.patch_recovery(params["patch_recovery"],
+                                    (skip, dec), cfg, precision)
+        if not multi_device_mesh_active():
+            xs = to_window_major(
+                jnp.pad(x, ((0, 0), (0, 0),
+                            (0, geom.h_padded - x.shape[2]),
+                            (0, 0), (0, 0))), geom.window)
+            skip, dec, off = forward_core_wm(params, xs, cfg)
+
+            def canon(t):
+                t = from_window_major(t, geom.window)
+                return jnp.roll(t, off, axis=(1, 2, 3))[:, :, :geom.h]
+
+            return L.patch_recovery(params["patch_recovery"],
+                                    (canon(skip), canon(dec)), cfg,
+                                    precision)
+        # mesh active but the wm trunk can't shard this batch: fall
+        # through to the per-stage sharded paths
     x = shard_tokens(x)
     x = forward_core(params, x, cfg, rng=rng, deterministic=deterministic,
                      precision=precision, taps=taps)

@@ -374,6 +374,52 @@ def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
     )(*operands)
 
 
+def _lon_shift_wm(xs, dw: int, ww: int, sp_axis: Optional[str],
+                  sp_size: int):
+    """Global longitude shift on WINDOW-MAJOR storage: canonical window
+    token w' reads storage token w' + dw (the wm form of
+    ``jnp.roll(canonical, -dw, axis=W)``, reference torch.roll on W,
+    /root/reference/models/layers.py:199-201).
+
+    Row-space realisation (same math the wm kernels use in-program,
+    ops/earth_block_wm.py::_make_wm_kernel): rows whose in-window lon
+    w_loc < ww-dw shift within their window; the rest spill to the lon
+    NEIGHBOUR window — which under a longitude-sharded mesh lives on the
+    next chip, so the neighbour rotate becomes a one-window-column
+    ``lax.ppermute`` halo exchange over ICI instead of the in-kernel
+    rotate (which would wrap at shard boundaries)."""
+    if dw == 0:
+        return xs
+    n = xs.shape[4]
+    w_in_run = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0), ww)[None, None, None]
+    sharded = sp_axis is not None and sp_size > 1
+
+    def lon_rotate(x, step: int):
+        # storage window l reads window l+step (step in {-1, +1})
+        if not sharded:
+            return jnp.roll(x, -step, axis=3)
+        if step > 0:
+            halo = jax.lax.ppermute(
+                x[:, :, :, :1], sp_axis,
+                [((i + 1) % sp_size, i) for i in range(sp_size)])
+            return jnp.concatenate([x[:, :, :, 1:], halo], axis=3)
+        halo = jax.lax.ppermute(
+            x[:, :, :, -1:], sp_axis,
+            [((i - 1) % sp_size, i) for i in range(sp_size)])
+        return jnp.concatenate([halo, x[:, :, :, :-1]], axis=3)
+
+    if dw > 0:
+        xn = lon_rotate(xs, 1)
+        return jnp.where(w_in_run < ww - dw,
+                         jnp.roll(xs, -dw, axis=4),
+                         jnp.roll(xn, ww - dw, axis=4))
+    xp = lon_rotate(xs, -1)
+    return jnp.where(w_in_run >= -dw,
+                     jnp.roll(xs, -dw, axis=4),
+                     jnp.roll(xp, -(ww + dw), axis=4))
+
+
 def _pick_gh(nlat: int, target: int) -> int:
     """Largest divisor of nlat <= target (lat windows per program)."""
     for g in range(min(nlat, max(1, target)), 0, -1):
@@ -384,7 +430,8 @@ def _pick_gh(nlat: int, target: int) -> int:
 
 def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
                  chunk_target: Optional[int] = None,
-                 io_layout: str = "canon", lat_group: int = 1):
+                 io_layout: str = "canon", lat_group: int = 1,
+                 sp_axis: Optional[str] = None, sp_size: int = 1):
     """Run one EarthSpecificLayer in window-major whole-block kernels.
 
     ``io_layout="canon"`` (default): x is canonical (B, Z, H, W, C) and
@@ -399,7 +446,16 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
     coordinates (as written by ops/updown_wm or engine/transition_wm);
     returns the ROLLED window-major storage plus the final coordinate
     offset as ``(xs, off)`` — no canonicalisation at all (the consumer
-    folds ``off`` into its own stitch reads)."""
+    folds ``off`` into its own stitch reads).
+
+    Under ``shard_map`` with longitude sharded over mesh axis ``sp_axis``
+    (``sp_size`` shards), x is the LOCAL shard: the lon component of each
+    half-window shift runs as a storage-level ``_lon_shift_wm`` (a
+    one-window-column ppermute halo + two sublane rolls) BEFORE the
+    kernel, and the z/lat components stay in the kernels' stitch index
+    maps. The returned ``off`` then always has lon component 0, so wm
+    consumers (ops/updown_wm, engine/transition_wm) never need a
+    cross-shard lon read."""
     wz, wh, ww = geom.window
     hp = geom.h_padded
     wm_io = io_layout == "wm"
@@ -414,6 +470,7 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
     mask = None
     blocks = stage_params["blocks"]
     nb = len(blocks)
+    sharded = sp_axis is not None and sp_size > 1
 
     gh = _pick_gh(hp // wh, lat_group)
     for j, bp in enumerate(blocks):
@@ -425,6 +482,12 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
             mask = jnp.asarray(window_region_ids(Z, hp, geom.window))
         in_l = "wm" if (wm_io or j > 0) else "canon"
         out_l = "wm" if (wm_io or j < nb - 1) else "canon"
+        if sharded and delta[2] and in_l == "wm":
+            # resolve the lon component at the storage level (ppermute
+            # halo); the kernel keeps only the z/lat stitch
+            xs = _lon_shift_wm(xs, delta[2], ww, sp_axis, sp_size)
+            delta = (delta[0], delta[1], 0)
+            off = (off[0], off[1], target[2])
         if in_l == "wm" and out_l == "wm" and gh > 1:
             # interior blocks: gh lat-windows per program (wider matmuls,
             # amortised weight/bias-table streams)
@@ -441,10 +504,45 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
         off = target
 
     if wm_io:
+        if sharded and off[2]:
+            # hand consumers a lon-canonical shard: they stitch only z/lat
+            xs = _lon_shift_wm(xs, -off[2], ww, sp_axis, sp_size)
+            off = (off[0], off[1], 0)
         return xs, off
     if off != (0, 0, 0):
-        xs = jnp.roll(xs, off, axis=(1, 2, 3))
+        if sharded:
+            from pangu_tpu.ops.earth_block_fused import _lon_shift
+            xs = jnp.roll(xs, off[:2], axis=(1, 2))
+            xs = _lon_shift(xs, -off[2], sp_axis, sp_size)
+        else:
+            xs = jnp.roll(xs, off, axis=(1, 2, 3))
     return xs[:, :, :H]
+
+
+def run_stage_wm_sharded(stage_params, x, geom, mesh, *,
+                         fast_math: bool = False,
+                         chunk_target: Optional[int] = None,
+                         lat_group: int = 1):
+    """Window-major stage chain on a >1-device mesh: the same wm kernels
+    per (dp, sp) shard via shard_map — batch over dp, longitude windows
+    over sp (windowed attention is W-local).  The only cross-shard
+    communication is the one-window-column ppermute halo of each shifted
+    block's longitude roll (``_lon_shift_wm``), riding ICI.  Canonical
+    (B, Z, H, W, C) in and out."""
+    from jax.sharding import PartitionSpec as P
+
+    sp = int(dict(mesh.shape).get("sp", 1))
+    spec_x = P("dp", None, None, "sp", None)
+
+    def inner(params, xx):
+        return run_stage_wm(params, xx, geom, fast_math=fast_math,
+                            chunk_target=chunk_target, io_layout="canon",
+                            lat_group=lat_group, sp_axis="sp", sp_size=sp)
+
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation, which the vma checker insists on
+    return jax.shard_map(inner, mesh=mesh, in_specs=(P(), spec_x),
+                         out_specs=spec_x, check_vma=False)(stage_params, x)
 
 
 # ---------------------------------------------------------------------------

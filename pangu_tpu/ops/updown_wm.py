@@ -131,7 +131,9 @@ def down_sample_wm(p, xs, geom0, geom1, off: Tuple[int, int, int],
     b, nz, nlat0, nlon0, n, c = xs.shape
     wz, wh, ww = geom0.window
     nlat1 = geom1.h_padded // wh
-    nlon1 = geom1.w // ww
+    nlon1 = nlon0 // 2          # from the (possibly shard-local) input:
+                                # == geom1.w // ww single-device, == the
+                                # local lon-window count under shard_map
     dt = xs.dtype
 
     def chunk_spec(rz, k):
@@ -264,7 +266,7 @@ def up_sample_wm(p, xs, geom2, geom3, off: Tuple[int, int, int],
     wz, wh, ww = geom2.window
     c_out = p["expand"]["kernel"].shape[-1] // 4
     nlat3 = geom3.h_padded // wh
-    nlon3 = geom3.w // ww
+    nlon3 = nlon2 * 2           # local under shard_map (see down_sample_wm)
     dt = xs.dtype
 
     def chunk_spec(rz):

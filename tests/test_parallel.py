@@ -150,7 +150,7 @@ def test_pallas_shard_map_keeps_kernels_under_mesh(problem, monkeypatch):
     import pangu_tpu.ops.earth_block_fused as EBF
 
     params, consts, batch = problem
-    cfg_p = dataclasses.replace(CFG, attn_impl="pallas")
+    cfg_p = dataclasses.replace(CFG, attn_impl="pallas", block_layout="v2")
     u = jnp.asarray(batch["upper"])
     s = jnp.asarray(batch["surface"])
     ref = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts, CFG))(
@@ -178,6 +178,114 @@ def test_pallas_shard_map_keeps_kernels_under_mesh(problem, monkeypatch):
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
                                atol=2e-4)
+
+
+def test_wm_shard_map_keeps_kernels_under_mesh(problem, monkeypatch):
+    """block_layout="wm" under a dp=2/sp=2 (tp=1) mesh must route through
+    run_stage_wm_sharded when the all-wm trunk doesn't apply (here:
+    ``taps`` forces the per-stage forward_core) — window-major kernels
+    per shard, each shifted block's longitude roll as a one-window-column
+    ppermute halo exchange (``_lon_shift_wm``) — and match the
+    single-device XLA numerics (VERDICT round-2 item 6)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import pangu_tpu.ops.earth_block_wm as EBW
+
+    params, consts, batch = problem
+    cfg_p = dataclasses.replace(CFG, attn_impl="pallas", block_layout="wm")
+    u = jnp.asarray(batch["upper"])
+    s = jnp.asarray(batch["surface"])
+    ref = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts, CFG))(
+        params, u, s)
+
+    calls = []
+    orig = EBW.run_stage_wm_sharded
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(EBW, "run_stage_wm_sharded", spy)
+
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=2, tp=1))
+    sp = jax.device_put(params, S.param_shardings(mesh, params))
+    bsh = S.batch_shardings(mesh)
+    su = jax.device_put(u, bsh["upper"])
+    ss = jax.device_put(s, bsh["surface"])
+
+    def fwd(p, a, b):
+        # taps forces the per-stage forward_core dispatch (the all-wm
+        # trunk shard_map path has its own test below)
+        return pangu.forward(p, a, b, consts, cfg_p, taps={})
+
+    with jax.set_mesh(mesh), pltpu.force_tpu_interpret_mode():
+        got = jax.jit(fwd)(sp, su, ss)
+    assert len(calls) == 4, "expected all 4 stages on the wm shard_map path"
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=2e-4)
+
+
+def test_wm_trunk_shard_map_matches_single_device(problem):
+    """The ALL-window-major trunk (forward_core_wm) must run per (dp, sp)
+    shard under shard_map — wm stage chains, wm down/up, lon halos as
+    ppermute — via forward()'s wm fast path, matching single-device XLA
+    (wm_core_supported no longer requires one device)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    params, consts, batch = problem
+    cfg_p = dataclasses.replace(CFG, attn_impl="pallas", block_layout="wm")
+    u = jnp.asarray(batch["upper"])
+    s = jnp.asarray(batch["surface"])
+    ref = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts, CFG))(
+        params, u, s)
+
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=2, tp=1))
+    with jax.set_mesh(mesh):
+        assert pangu.wm_core_supported(params, cfg_p)
+        assert pangu.wm_core_mesh(cfg_p) is not None
+    sp = jax.device_put(params, S.param_shardings(mesh, params))
+    bsh = S.batch_shardings(mesh)
+    su = jax.device_put(u, bsh["upper"])
+    ss = jax.device_put(s, bsh["surface"])
+    with jax.set_mesh(mesh), pltpu.force_tpu_interpret_mode():
+        got = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts,
+                                                    cfg_p))(sp, su, ss)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=2e-4)
+
+
+def test_wm_rollout_shard_map_matches_single_device(problem):
+    """The all-wm chained token-space rollout under a dp=2/sp=2 mesh (ONE
+    shard_map around the whole scan; the carried wm state never leaves
+    its shard) must match the standard single-device rollout."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pangu_tpu.engine.rollout import make_rollout
+
+    params, consts, batch = problem
+    cfg_p = dataclasses.replace(CFG, attn_impl="pallas", block_layout="wm")
+    u = jnp.asarray(batch["upper"])
+    s = jnp.asarray(batch["surface"])
+
+    std = make_rollout(CFG, consts, 2)
+    ref = std(params, u + 0, s + 0)
+
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=2, tp=1))
+    sp = jax.device_put(params, S.param_shardings(mesh, params))
+    bsh = S.batch_shardings(mesh)
+    su = jax.device_put(u, bsh["upper"])
+    ss = jax.device_put(s, bsh["surface"])
+    with jax.set_mesh(mesh), pltpu.force_tpu_interpret_mode():
+        tok = make_rollout(cfg_p, consts, 2, token_space=True)
+        got = tok(sp, su, ss)
+    for x, y in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        assert x.shape == y.shape
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=5e-3, rtol=1e-3)
 
 
 def test_initialize_distributed_env_detection(monkeypatch):
