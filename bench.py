@@ -30,8 +30,10 @@ BASELINE_MS = 150.0
 STEPS = 10
 PROBE_TIMEOUT_S = 150      # backend init hangs ~20 min when the tunnel is
                            # down; a healthy init answers in < 30 s
-ATTEMPT_TIMEOUT_S = 1500   # covers a cold ~7-min kernel compile + measure
-RETRY_TIMEOUT_S = 900      # retries start from a warm compile cache
+WARM_TIMEOUT_S = 1500      # per-program compile+cache budget (remote
+                           # compile of one full-geometry program has been
+                           # observed at ~19 min on a degraded tunnel)
+ATTEMPT_TIMEOUT_S = 900    # measurement runs from a warm compile cache
 
 _METRIC = "pangu24_forward_step_latency"
 
@@ -72,9 +74,34 @@ def main_with_retries() -> int:
         return 0
     sys.stderr.write(f"[bench] backend={backend}\n")
 
+    # ---- incremental cache warm-up --------------------------------------
+    # The three timed programs (rollout, cold single step, batch-4 rollout)
+    # each cost minutes of remote compile when uncached.  A single attempt
+    # budget can cover at most ONE such compile, so warm them one program
+    # per bounded subprocess: every compile that completes persists in the
+    # cache even if a later one times out, and the measurement attempts
+    # below then start fully cached.  Warm failures are non-fatal.
+    for prog in ("rollout", "single", "batch4"):
+        t0 = time.monotonic()
+        try:
+            wp = subprocess.run(
+                [sys.executable, "-u", __file__, "--warm", prog],
+                capture_output=True, text=True, timeout=WARM_TIMEOUT_S)
+            status = f"rc={wp.returncode}"
+            if wp.returncode != 0:
+                sys.stderr.write(wp.stdout[-1500:] + wp.stderr[-2500:] + "\n")
+        except subprocess.TimeoutExpired:
+            status = "timed out"
+        sys.stderr.write(f"[bench] warm {prog}: {status} "
+                         f"({time.monotonic() - t0:.0f}s)\n")
+        if status != "rc=0" and probe_backend(120) is None:
+            print(_error_json(
+                f"backend lost during cache warm-up ({prog}: {status})"))
+            return 0
+
     last_failure = "unknown"
     for attempt in range(3):
-        budget = ATTEMPT_TIMEOUT_S if attempt == 0 else RETRY_TIMEOUT_S
+        budget = ATTEMPT_TIMEOUT_S
         try:
             proc = subprocess.run([sys.executable, "-u", __file__, "--run"],
                                   capture_output=True, text=True,
@@ -139,7 +166,8 @@ def _best_valid(times: list, retime, label: str):
     return min(valid) if valid else None
 
 
-def main():
+def _setup():
+    """Shared model/rollout construction for warm and measurement modes."""
     import os
 
     import jax
@@ -186,6 +214,33 @@ def main():
                 jnp.asarray(r.normal(size=(batch, cfg.surface_vars, cfg.lat,
                                            cfg.lon)).astype(np.float32)))
 
+    return jax, cfg, params, constants, roll, fresh
+
+
+def _make_single_step(jax, cfg, params, constants):
+    from pangu_tpu.models.pangu import forward
+    jstep = jax.jit(lambda p, uu, ss, c: forward(p, uu, ss, c, cfg))
+    return lambda uu, ss: jstep(params, uu, ss, constants)
+
+
+def warm(prog: str):
+    """Compile + run ONE of the timed programs so its executable lands in
+    the persistent cache; bounded by the parent."""
+    jax, cfg, params, constants, roll, fresh = _setup()
+    if prog == "rollout":
+        jax.block_until_ready(roll(params, *fresh(0)))
+    elif prog == "single":
+        step = _make_single_step(jax, cfg, params, constants)
+        jax.block_until_ready(step(*fresh(100)))
+    elif prog == "batch4":
+        jax.block_until_ready(roll(params, *fresh(5000, batch=4)))
+    else:
+        raise SystemExit(f"unknown warm target {prog!r}")
+
+
+def main():
+    jax, cfg, params, constants, roll, fresh = _setup()
+
     jax.block_until_ready(roll(params, *fresh(0)))   # compile + warm
     # params stay a call ARGUMENT (closing over them would inline them
     # into the compiled program as literals — see __graft_entry__.entry)
@@ -197,9 +252,7 @@ def main():
     # "single 24h forecast step") — includes patch embed + recovery, which
     # the token-space rollout legitimately amortises away. Fresh inputs
     # every call so no dispatch result is cached.
-    from pangu_tpu.models.pangu import forward
-    jstep = jax.jit(lambda p, uu, ss, c: forward(p, uu, ss, c, cfg))
-    step = lambda uu, ss: jstep(params, uu, ss, constants)
+    step = _make_single_step(jax, cfg, params, constants)
     jax.block_until_ready(step(*fresh(100)))         # compile + warm
     single = _best_valid(_timed(step, fresh, 3, 1.0),
                          lambda: _timed(step, fresh, 5, 1.0), "single")
@@ -233,7 +286,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--run" in sys.argv:
+    if "--warm" in sys.argv:
+        warm(sys.argv[sys.argv.index("--warm") + 1])
+    elif "--run" in sys.argv:
         main()
     else:
         sys.exit(main_with_retries())
