@@ -33,7 +33,11 @@ PROBE_TIMEOUT_S = 150      # backend init hangs ~20 min when the tunnel is
 WARM_TIMEOUT_S = 1500      # per-program compile+cache budget (remote
                            # compile of one full-geometry program has been
                            # observed at ~19 min on a degraded tunnel)
-ATTEMPT_TIMEOUT_S = 900    # measurement runs from a warm compile cache
+# Per-metric measurement budgets (each metric runs in its OWN bounded
+# subprocess from a warm compile cache, so a slow secondary can never
+# sink the primary; trace + cache-load of one full-geometry program is
+# minutes even when fully cached)
+MEASURE_TIMEOUT_S = {"rollout": 700, "single": 700, "batch4": 700}
 
 _METRIC = "pangu24_forward_step_latency"
 
@@ -99,43 +103,62 @@ def main_with_retries() -> int:
                 f"backend lost during cache warm-up ({prog}: {status})"))
             return 0
 
+    # ---- per-metric measurement: each metric gets its own bounded
+    # subprocess (2 tries), so a slow/failed secondary can never cost the
+    # primary its result ---------------------------------------------------
+    results: dict = {}
     last_failure = "unknown"
-    for attempt in range(3):
-        budget = ATTEMPT_TIMEOUT_S
-        try:
-            proc = subprocess.run([sys.executable, "-u", __file__, "--run"],
-                                  capture_output=True, text=True,
-                                  timeout=budget)
-        except subprocess.TimeoutExpired as e:
-            tail = ((e.stdout or b"")[-2000:] if isinstance(e.stdout, bytes)
-                    else (e.stdout or "")[-2000:])
-            sys.stderr.write(f"[bench] attempt {attempt + 1} timed out after "
-                             f"{budget}s; partial output: {tail}\n")
-            last_failure = f"attempt timed out after {budget}s"
-            proc = None
-        if proc is not None:
-            line = next((ln for ln in proc.stdout.splitlines()
-                         if ln.startswith('{"metric"')), None)
-            if proc.returncode == 0 and line:
-                print(line)
-                return 0
-            sys.stderr.write(
-                f"[bench] attempt {attempt + 1} failed (rc={proc.returncode})\n"
-                + proc.stdout[-2000:] + proc.stderr[-4000:] + "\n")
-            last_failure = f"measurement rc={proc.returncode}"
-        # before burning another long attempt, confirm the backend is
-        # still reachable with a cheap bounded probe
-        if attempt < 2:
-            if probe_backend(120) is None:
+    for prog in ("rollout", "single", "batch4"):
+        budget = MEASURE_TIMEOUT_S[prog]
+        for attempt in range(2):
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-u", __file__, "--measure", prog],
+                    capture_output=True, text=True, timeout=budget)
+            except subprocess.TimeoutExpired:
+                sys.stderr.write(f"[bench] measure {prog} try {attempt + 1} "
+                                 f"timed out ({budget}s)\n")
+                last_failure = f"{prog} timed out after {budget}s"
+                proc = None
+            if proc is not None:
+                line = next((ln for ln in proc.stdout.splitlines()
+                             if ln.startswith('{"value"')), None)
+                if proc.returncode == 0 and line:
+                    results[prog] = json.loads(line)["value"]
+                    sys.stderr.write(f"[bench] measure {prog}: "
+                                     f"{results[prog]}\n")
+                    break
+                sys.stderr.write(
+                    f"[bench] measure {prog} try {attempt + 1} failed "
+                    f"(rc={proc.returncode})\n" + proc.stdout[-1500:]
+                    + proc.stderr[-2500:] + "\n")
+                last_failure = f"{prog} rc={proc.returncode}"
+            # cheap bounded probe before a retry: don't burn a second
+            # budget against a dead tunnel
+            if attempt == 0 and probe_backend(120) is None:
                 print(_error_json(
                     f"backend lost mid-run ({last_failure}); re-probe "
                     f"timed out"))
                 return 0
-            time.sleep(5)
-    elapsed = time.monotonic() - t_start
-    print(_error_json(
-        f"all 3 measurement attempts failed ({last_failure}); "
-        f"{elapsed:.0f}s elapsed"))
+
+    best = results.get("rollout")
+    if best is None:
+        elapsed = time.monotonic() - t_start
+        print(_error_json(
+            f"primary rollout measurement failed ({last_failure}); "
+            f"{elapsed:.0f}s elapsed"))
+        return 0
+    single = results.get("single")
+    bt = results.get("batch4")
+    print(json.dumps({
+        "metric": _METRIC,
+        "value": round(best, 2),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / best, 3),
+        "single_step_cold_ms": (None if single is None else round(single, 2)),
+        "batch4_steps_per_sec_chip": (None if bt is None
+                                      else round(4 / (bt / 1e3), 2)),
+    }))
     return 0
 
 
@@ -238,57 +261,42 @@ def warm(prog: str):
         raise SystemExit(f"unknown warm target {prog!r}")
 
 
-def main():
+def measure(prog: str):
+    """Measure ONE metric (per-step ms) from a warm compile cache and
+    print a tiny {"value": N} JSON line; bounded by the parent."""
     jax, cfg, params, constants, roll, fresh = _setup()
 
-    jax.block_until_ready(roll(params, *fresh(0)))   # compile + warm
-    # params stay a call ARGUMENT (closing over them would inline them
-    # into the compiled program as literals — see __graft_entry__.entry)
-    rollfn = lambda u, s: roll(params, u, s)
-    best = _best_valid(_timed(rollfn, fresh, 3, STEPS),
-                       lambda: _timed(rollfn, fresh, 5, STEPS), "rollout")
-
-    # ---- secondary metric: COLD single 24h step (BASELINE.json config 1:
-    # "single 24h forecast step") — includes patch embed + recovery, which
-    # the token-space rollout legitimately amortises away. Fresh inputs
-    # every call so no dispatch result is cached.
-    step = _make_single_step(jax, cfg, params, constants)
-    jax.block_until_ready(step(*fresh(100)))         # compile + warm
-    single = _best_valid(_timed(step, fresh, 3, 1.0),
-                         lambda: _timed(step, fresh, 5, 1.0), "single")
-
-    # ---- secondary metric: batch-4 rollout throughput (steps/sec/chip,
-    # the BASELINE.json metric name) -------------------------------------
-    batch = 4
-    fresh_b = lambda seed: fresh(seed + 5000, batch=batch)
-    try:
+    if prog == "rollout":
+        jax.block_until_ready(roll(params, *fresh(0)))
+        rollfn = lambda u, s: roll(params, u, s)
+        val = _best_valid(_timed(rollfn, fresh, 3, STEPS),
+                          lambda: _timed(rollfn, fresh, 5, STEPS), "rollout")
+    elif prog == "single":
+        # COLD single 24h step (BASELINE.json config 1): includes patch
+        # embed + recovery, which the token-space rollout legitimately
+        # amortises away. Fresh inputs every call: no dispatch caching.
+        step = _make_single_step(jax, cfg, params, constants)
+        jax.block_until_ready(step(*fresh(100)))
+        val = _best_valid(_timed(step, fresh, 3, 1.0),
+                          lambda: _timed(step, fresh, 5, 1.0), "single")
+    elif prog == "batch4":
+        rollfn = lambda u, s: roll(params, u, s)
+        fresh_b = lambda seed: fresh(seed + 5000, batch=4)
         jax.block_until_ready(roll(params, *fresh_b(0)))
-        bt = _best_valid(_timed(rollfn, fresh_b, 2, STEPS),
-                         lambda: _timed(rollfn, fresh_b, 3, STEPS), "batch4")
-        batch4_sps = None if bt is None else batch / (bt / 1e3)
-    except Exception as e:  # OOM at batch 4 must not kill the primary metric
-        sys.stderr.write(f"[bench] batch-{batch} rollout failed: {e}\n")
-        batch4_sps = None
+        val = _best_valid(_timed(rollfn, fresh_b, 2, STEPS),
+                          lambda: _timed(rollfn, fresh_b, 3, STEPS), "batch4")
+    else:
+        raise SystemExit(f"unknown measure target {prog!r}")
 
-    if best is None:
-        print(_error_json("no valid rollout timing samples (all filtered "
-                          "as cached-dispatch artifacts)"))
-        return
-    print(json.dumps({
-        "metric": _METRIC,
-        "value": round(best, 2),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / best, 3),
-        "single_step_cold_ms": (None if single is None else round(single, 2)),
-        "batch4_steps_per_sec_chip": (None if batch4_sps is None
-                                      else round(batch4_sps, 2)),
-    }))
+    if val is None:
+        raise SystemExit(f"no valid {prog} timing samples")
+    print(json.dumps({"value": val}))
 
 
 if __name__ == "__main__":
     if "--warm" in sys.argv:
         warm(sys.argv[sys.argv.index("--warm") + 1])
-    elif "--run" in sys.argv:
-        main()
+    elif "--measure" in sys.argv:
+        measure(sys.argv[sys.argv.index("--measure") + 1])
     else:
         sys.exit(main_with_retries())

@@ -118,6 +118,15 @@ class ModelConfig:
                                 # relayout in VMEM, interior blocks are
                                 # zero-relayout) | "v2" (token grid,
                                 # rolled-coordinate kernels)
+    edge_kernels: bool = False  # Pallas patch-embed -> wm entry storage
+                                # (ops/embed_wm.py) and rolled wm ->
+                                # physical-field recovery
+                                # (ops/recovery_wm.py) on the all-wm
+                                # single-device inference path; OFF until
+                                # hardware-verified (the kernels' 2-D
+                                # lane<->sublane transposes compile in
+                                # interpret mode regardless — NOTES.md:
+                                # interpret is necessary, not sufficient)
 
     def __post_init__(self):
         pz, ph, pw = self.patch

@@ -461,6 +461,23 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
     upper = upper.astype(cdt)
     surface = surface.astype(cdt)
 
+    if (deterministic and taps is None and cfg.edge_kernels
+            and wm_core_supported(params, cfg)):
+        # edge-kernel fast path: embed writes the wm entry storage
+        # directly and recovery reads the rolled wm exit pair directly —
+        # neither the canonical token grid nor its relayouts ever exist
+        from pangu_tpu.ops.embed_wm import embed_supported, embed_wm
+        from pangu_tpu.ops.recovery_wm import (recovery_supported,
+                                               recovery_wm)
+        from pangu_tpu.parallel.sharding import multi_device_mesh_active
+        if (not multi_device_mesh_active() and embed_supported(cfg)
+                and recovery_supported(cfg)):
+            xs = embed_wm(params["patch_embed"], upper, surface, constants,
+                          cfg)
+            skip, dec, off = forward_core_wm(params, xs, cfg)
+            return recovery_wm(params["patch_recovery"], skip, dec, off,
+                               cfg)
+
     x = L.patch_embed(params["patch_embed"], upper, surface, constants, cfg,
                       precision)
     if taps is not None:

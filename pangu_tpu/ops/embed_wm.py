@@ -1,0 +1,212 @@
+"""Patch embedding straight into window-major storage: one Pallas kernel
+replaces the XLA embed convolutions AND the canonical->wm entry relayout.
+
+The cold single-step path was: XLA strided conv3d (~25 ms; XLA picks
+badly padded layouts for the (NCDHW -> NDHWC) patch projection) followed
+by ``to_window_major`` (an HBM relayout).  Here the upper-air branch is
+a Pallas kernel whose per-program tile is one (z-plane, token-lat-pair):
+
+  * the (var, z_off, h_off) gather is pure sublane work on a
+    (6, 2, 8, lon) tile (lanes = lon, untouched);
+  * the lane->sublane change happens in ONE 2-D transpose
+    (48, 1536) -> (1536, 48) (hardware-verified, scripts/transpose_probe);
+  * the stride-4 w_off de-interleave is then a sublane reshape + static
+    slices, and the projection is 4 small MXU dots contracting 48 lanes;
+  * the output block is written directly as 24 rows of the stage-0
+    window-major entry storage — the relayout never exists.
+
+The surface branch (1/8 of the work, and XLA handles its 2-D conv fine)
+stays an XLA conv; its token plane rides into the kernel as a second ref
+whose block index ignores the z grid dimension, so Mosaic fetches it
+once per lat-pair, and the z=0 programs just relayout it into wm rows.
+
+Reference semantics: PatchEmbedding_pretrain
+(/root/reference/models/layers.py:12-93) — normalisation inside the
+model, const-mask channels appended to surface, const_h appended to
+upper, surface plane = token plane 0.  Numerics match layers.patch_embed
+(same contraction order, fp32 MXU accumulation) with pad token rows
+zeroed exactly like ``to_window_major(jnp.pad(...))``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pangu_tpu.config import ModelConfig
+
+def _lon_pad(cfg: ModelConfig) -> int:
+    # lon padded to a lane-transposable 128-multiple (1440 -> 1536); the
+    # pad lanes only ever feed the masked wt >= w_tokens rows
+    return -(-cfg.lon // 128) * 128
+
+
+def _upper_weights(p, cfg: ModelConfig, dtype):
+    """(V1*pz*ph*pw, C) ONNX-layout kernel -> (pw, ph*V1*pz, C): one
+    48-row projection matrix per w_off, rows ordered (h_off, var, z_off)
+    to match the kernel's tile gather order."""
+    pz, ph, pw = cfg.patch
+    v1 = cfg.upper_vars + 1
+    c = cfg.dims[0]
+    w = p["upper"]["kernel"].reshape(v1, pz, ph, pw, c)
+    w = w.transpose(3, 2, 0, 1, 4).reshape(pw, ph * v1 * pz, c)
+    return w.astype(dtype)
+
+
+def embed_supported(cfg: ModelConfig) -> bool:
+    geom = cfg.stage(0)
+    pz, ph, pw = cfg.patch
+    wz, wh, ww = geom.window
+    return (pw == 4 and ph == 4 and pz == 2 and wz == 2
+            and cfg.lon % ww == 0 and wh % 2 == 0
+            and (cfg.upper_vars + 1) * pz * ph % 8 == 0)
+
+
+def _make_kernel(cfg: ModelConfig, nlon: int, wh: int, ww: int, c: int):
+    pz, ph, pw = cfg.patch
+    v1 = cfg.upper_vars + 1                     # + const_h channel
+    rows = ph * v1 * pz                          # 48
+    wt = cfg.w_tokens                            # 360
+    lon_pad = _lon_pad(cfg)
+    wt_pad = lon_pad // pw                       # 384
+    h_real = cfg.h_tokens                        # 181
+
+    def kernel(xn_ref, st_ref, w_ref, b_ref, o_ref, ts_s):
+        hh = pl.program_id(1)
+        z = pl.program_id(2)
+
+        @pl.when(z == 0)
+        def _():
+            st = st_ref[0]                       # (2, wt, C) surface tokens
+            t = st.reshape(2, nlon, ww, c)
+            o_ref[0, 0, 0] = t.transpose(1, 0, 2, 3).reshape(nlon, 2 * ww, c)
+
+        @pl.when(z > 0)
+        def _():
+            x = xn_ref[0]                        # (V1, pz, 2*ph, lon_pad)
+            x = x.transpose(2, 0, 1, 3)          # (2*ph, V1, pz, lon_pad)
+            x = x.reshape(2, ph, v1, pz, lon_pad)
+            for sub in range(2):
+                t = x[sub].reshape(rows, lon_pad)
+                t = t.T                          # (LON_PAD, rows) — the one
+                t = t.reshape(wt_pad, pw, rows)  # lane<->sublane transpose
+                acc = None
+                for wo in range(pw):
+                    d = jax.lax.dot_general(
+                        t[:, wo, :], w_ref[wo],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = d if acc is None else acc + d
+                y = acc + b_ref[...].astype(jnp.float32)[None]
+                # token-lat pad rows (>= h_tokens) are REAL zeros, exactly
+                # like to_window_major(jnp.pad(...)) hands the stage
+                y = jnp.where(2 * hh + sub < h_real, y, jnp.zeros_like(y))
+                ts_s[sub] = y.astype(o_ref.dtype)[:wt].reshape(nlon, ww, c)
+            o_ref[0, 0, 0] = ts_s[...].transpose(1, 0, 2, 3).reshape(
+                nlon, 2 * ww, c)
+
+    return kernel
+
+
+def embed_wm(p, upper, surface, constants, cfg: ModelConfig, *,
+             interpret: bool = False):
+    """Raw (B, 5, levels, lat, lon) + (B, 4, lat, lon) physical fields ->
+    stage-0 window-major entry storage (B, nz, nlat, nlon, N, C) in
+    canonical coordinates, pad rows zeroed.
+
+    Equals ``to_window_major(pad(patch_embed(...)))`` (pinned by
+    tests/test_ops.py); use :func:`embed_supported` to gate."""
+    from pangu_tpu.models import layers as L
+
+    geom = cfg.stage(0)
+    wz, wh, ww = geom.window
+    nz = geom.z // wz
+    nlat = geom.h_padded // wh
+    nlon = geom.w // ww
+    n = wz * wh * ww
+    c = cfg.dims[0]
+    pz, ph, pw = cfg.patch
+    b = upper.shape[0]
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    # ---- XLA pre-pass: normalise + const_h concat + pad + cast ----------
+    um = constants["upper_mean"].astype(dtype)
+    us = constants["upper_std"].astype(dtype)
+    up = (upper.astype(dtype) - um[None]) / us[None]
+    x6 = jnp.concatenate(
+        [up, jnp.broadcast_to(constants["const_h"].astype(dtype)[None, None],
+                              (b, 1, cfg.levels, cfg.lat, cfg.lon))], axis=1)
+    lat_in = nlat * wh * ph     # every program's 2*ph-row tile in range
+    x6 = jnp.pad(x6, ((0, 0), (0, 0),
+                      (0, cfg.levels_padded - cfg.levels),
+                      (0, lat_in - cfg.lat), (0, _lon_pad(cfg) - cfg.lon)))
+
+    # ---- XLA surface branch: small 2-D conv -> padded token plane -------
+    sm = constants["surface_mean"].astype(dtype)
+    ss = constants["surface_std"].astype(dtype)
+    sf = (surface.astype(dtype) - sm[None]) / ss[None]
+    sf = jnp.pad(sf, ((0, 0), (0, 0), (0, cfg.lat_padded - cfg.lat), (0, 0)))
+    smv = cfg.surface_vars + cfg.const_masks
+    ws = p["surface"]["kernel"].astype(dtype)
+    ws = ws.reshape(smv, ph, pw, c).transpose(3, 0, 1, 2)
+    xs = jax.lax.conv_general_dilated(
+        sf, ws[:, :cfg.surface_vars], window_strides=(ph, pw),
+        padding="VALID", dimension_numbers=("NCHW", "OIHW", "NHWC"))
+    cs = jax.lax.conv_general_dilated(
+        constants["surface_masks"].astype(dtype)[None],
+        ws[:, cfg.surface_vars:], window_strides=(ph, pw),
+        padding="VALID", dimension_numbers=("NCHW", "OIHW", "NHWC"))
+    st = xs + cs + p["surface"]["bias"].astype(dtype)
+    st = jnp.pad(st, ((0, 0), (0, nlat * wh - cfg.h_tokens), (0, 0), (0, 0)))
+
+    w4 = _upper_weights(p, cfg, dtype)
+    bias = p["upper"]["bias"].astype(dtype)
+    v1 = cfg.upper_vars + 1
+
+    n_hh = nlat * wh // 2                        # lat-pairs (93)
+    zplanes = nz * wz                            # 8
+
+    def xn_imap(bb, hh, z):
+        # plane z>=1 is upper token plane z-1 (levels 2(z-1)..2z-1); the
+        # z=0 program fetches the same block as its z=1 neighbour (free:
+        # consecutive programs share the block) and ignores it
+        return (bb, 0, jnp.maximum(z - 1, 0), hh, 0)
+
+    x_spec = pl.BlockSpec((1, v1, pz, 2 * ph, _lon_pad(cfg)),
+                          xn_imap, memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((1, 2, cfg.w_tokens, c),
+                           lambda bb, hh, z: (bb, hh, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def fullspec(shape):
+        return pl.BlockSpec(shape, lambda bb, hh, z: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    out_spec = pl.BlockSpec(
+        (1, 1, 1, nlon, 2 * ww, c),
+        lambda bb, hh, z: (bb, z // 2, hh // (wh // 2), 0,
+                           (wh // 2) * (z % 2) + hh % (wh // 2), 0),
+        memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _make_kernel(cfg, nlon, wh, ww, c),
+        out_shape=jax.ShapeDtypeStruct((b, nz, nlat, nlon, n, c), dtype),
+        grid=(b, n_hh, zplanes),
+        in_specs=[x_spec, st_spec, fullspec(w4.shape), fullspec(bias.shape)],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((2, nlon, ww, c), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (zplanes - 1) * n_hh * 2 * cfg.w_tokens
+            * (ph * v1 * pz) * c,
+            bytes_accessed=int(x6.size * x6.dtype.itemsize
+                               + st.size * st.dtype.itemsize
+                               + b * nz * nlat * nlon * n * c
+                               * jnp.dtype(dtype).itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(x6, st, w4, bias)

@@ -1,0 +1,289 @@
+"""Patch recovery straight from rolled window-major storage: one Pallas
+kernel per branch replaces the stage-3 roll-back + crop relayouts AND the
+XLA recovery transpose gauntlet.
+
+The cold single-step tail was: from_window_major + jnp.roll + crop (two
+HBM relayouts of the 175 MB skip/decoder pair) then patch_recovery's
+dense + 8-D interleave transpose (~31 ms; XLA picks a hugely padded
+layout for the interleave — NOTES.md measured ~4.7 GB/sample at bf16).
+Here each program owns one (z-plane, lat-window) slab:
+
+  * the roll-back is the same modular chunk-stitch read the wm down/up
+    kernels use (two lat-window chunks + _lon_unroll, zero relayout);
+  * the split-row dense (skip | decoder, models/pangu_model.py:83-85)
+    runs as two MXU dots with fp32 accumulation;
+  * the (h_off) de-interleave is a 2-D lane<->sublane transpose per
+    token-lat row (hardware-verified, scripts/transpose_probe.py);
+  * the (w_off) lane interleave into physical longitude runs on the MXU
+    as a 0/1 selection matmul (384 -> 1440 lanes, 4wt+wo order) — the
+    selection matrix also zeroes the wt >= w_tokens garbage rows.
+
+Reference semantics: PatchRecovery_pretrain
+(/root/reference/models/layers.py:501-545) — out features ordered
+(var, z_off, h_off, w_off), outputs stay normalised, crop to the real
+(levels, lat) extents.  Numerics match layers.patch_recovery (pinned by
+tests/test_ops.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pangu_tpu.config import ModelConfig
+from pangu_tpu.ops.updown_wm import _lon_unroll
+
+_FPAD = 256          # dense out-features padded to a transposable lane count
+
+
+def recovery_supported(cfg: ModelConfig) -> bool:
+    geom = cfg.stage(3)
+    pz, ph, pw = cfg.patch
+    wz, wh, ww = geom.window
+    return (pw == 4 and ph == 4 and pz == 2 and wz == 2
+            and cfg.upper_vars * pz * ph * pw <= _FPAD
+            and cfg.w_tokens % ww == 0)
+
+
+@functools.lru_cache(maxsize=8)
+def _sel_matrix(wt: int, wt_pad: int, pw: int, lon: int):
+    """(pw, wt_pad, lon) 0/1 interleave: row wt of slab wo feeds physical
+    lon 4*wt+wo; the wt >= w_tokens pad rows stay all-zero, killing the
+    uninitialised scratch rows they would otherwise leak."""
+    s = np.zeros((pw, wt_pad, lon), np.float32)
+    for wo in range(pw):
+        for w in range(wt):
+            s[wo, w, pw * w + wo] = 1.0
+    return s
+
+
+def _stitch_rows(chunks, wh, ww, off, dwo):
+    """Kernel-side: chunk list -> (nlon, wh*ww, C) canonical token rows
+    (h-major, w-minor) for this program's lat window."""
+    if len(chunks) == 1:
+        x = chunks[0][0, 0, 0]
+    else:
+        cat = jnp.concatenate([ch[0, 0, 0] for ch in chunks], axis=1)
+        start = (wh - off[1]) % wh
+        x = cat[:, start * ww:(start + wh) * ww]
+    return _lon_unroll(x, ww, dwo)
+
+
+def _make_upper_kernel(cfg: ModelConfig, geom, off, nk: int, nlon: int):
+    wz, wh, ww = geom.window
+    pz, ph, pw = cfg.patch
+    v = cfg.upper_vars
+    c = geom.dim
+    wt = cfg.w_tokens
+    wt_pad = -(-wt // 128) * 128                 # 360 -> 384 (transposable)
+    feat = v * pz * ph * pw                      # 160
+    rvo = v * pz * ph                            # 40 rows after wo split
+    dwo = -off[2]
+
+    def kernel(*refs):
+        sk = refs[:nk]
+        dc = refs[nk:2 * nk]
+        wsk_ref, wdc_ref, b_ref, s_ref, o_ref, y_s, o_s = refs[2 * nk:]
+
+        xs = _stitch_rows(sk, wh, ww, off, dwo)      # (nlon, wh*ww, C)
+        xd = _stitch_rows(dc, wh, ww, off, dwo)
+        y = jax.lax.dot_general(
+            xs.reshape(nlon * wh * ww, c), wsk_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        y = y + jax.lax.dot_general(
+            xd.reshape(nlon * wh * ww, c), wdc_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        y = (y + b_ref[...].astype(jnp.float32)[None]).astype(o_ref.dtype)
+        # rows (iw, h, w) -> per token-lat row h: (wt, FPAD) slabs
+        y = y.reshape(nlon, wh, ww, _FPAD)
+        yt = y.transpose(1, 0, 2, 3).reshape(wh, wt, _FPAD)
+        for h in range(wh):
+            y_s[h, :wt] = yt[h]
+            # pad rows must be FINITE zeros: the selection matmul zeroes
+            # their columns, but NaN/Inf garbage times 0 is still NaN
+            y_s[h, wt:] = jnp.zeros((wt_pad - wt, _FPAD), y_s.dtype)
+            t = y_s[h].T                             # (FPAD, wt_pad)
+            t = t[:feat].reshape(rvo, pw, wt_pad)    # (r=(v,zo,ho), wo, wt)
+            acc = None
+            for wo in range(pw):
+                d = jax.lax.dot_general(
+                    t[:, wo, :], s_ref[wo],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            o_s[h] = acc.astype(o_ref.dtype)         # (rvo, lon)
+        out = o_s[...].reshape(wh, v, pz, ph, cfg.lon)
+        o_ref[0, :, :, :, :] = out.transpose(1, 2, 0, 3, 4).reshape(
+            v, pz, wh * ph, cfg.lon)
+
+    return kernel
+
+
+def _make_surface_kernel(cfg: ModelConfig, geom, off, nk: int, nlon: int):
+    wz, wh, ww = geom.window
+    pz, ph, pw = cfg.patch
+    s_vars = cfg.surface_vars
+    c = geom.dim
+    wt = cfg.w_tokens
+    wt_pad = -(-wt // 128) * 128
+    feat = s_vars * ph * pw                      # 64
+    rvo = s_vars * ph                            # 16
+    dwo = -off[2]
+
+    def kernel(*refs):
+        sk = refs[:nk]
+        dc = refs[nk:2 * nk]
+        wsk_ref, wdc_ref, b_ref, s_ref, o_ref, y_s, o_s = refs[2 * nk:]
+
+        xs = _stitch_rows(sk, wh, ww, off, dwo)
+        xd = _stitch_rows(dc, wh, ww, off, dwo)
+        y = jax.lax.dot_general(
+            xs.reshape(nlon * wh * ww, c), wsk_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        y = y + jax.lax.dot_general(
+            xd.reshape(nlon * wh * ww, c), wdc_ref[...],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        y = (y + b_ref[...].astype(jnp.float32)[None]).astype(o_ref.dtype)
+        y = y.reshape(nlon, wh, ww, _FPAD)
+        yt = y.transpose(1, 0, 2, 3).reshape(wh, wt, _FPAD)
+        for h in range(wh):
+            y_s[h, :wt] = yt[h]
+            y_s[h, wt:] = jnp.zeros((wt_pad - wt, _FPAD), y_s.dtype)
+            t = y_s[h].T
+            t = t[:feat].reshape(rvo, pw, wt_pad)
+            acc = None
+            for wo in range(pw):
+                d = jax.lax.dot_general(
+                    t[:, wo, :], s_ref[wo],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            o_s[h] = acc.astype(o_ref.dtype)         # (rvo, lon)
+        out = o_s[...].reshape(wh, s_vars, ph, cfg.lon)
+        o_ref[0] = out.transpose(1, 0, 2, 3).reshape(s_vars, wh * ph, cfg.lon)
+
+    return kernel
+
+
+def _pad_cols(w, b, dtype):
+    wp = jnp.pad(w.astype(dtype), ((0, 0), (0, _FPAD - w.shape[1])))
+    bp = jnp.pad(b.astype(dtype), ((0, _FPAD - b.shape[0]),))
+    return wp, bp
+
+
+def recovery_wm(p, skip_wm, dec_wm, off, cfg: ModelConfig, *,
+                interpret: bool = False):
+    """Rolled stage-3-exit window-major storage pair -> normalised output
+    fields (upper (B,5,levels,lat,lon), surface (B,4,lat,lon)).
+
+    ``skip_wm``/``dec_wm``: (B, nz, nlat, nlon, N, C) holding canonical
+    token t + off at position t (run_stage_wm exit storage).  Equals
+    ``patch_recovery((canon(skip), canon(dec)))`` — pinned by
+    tests/test_ops.py; gate with :func:`recovery_supported`."""
+    geom = cfg.stage(3)
+    wz, wh, ww = geom.window
+    b, nz, nlat, nlon, n, c = skip_wm.shape
+    pz, ph, pw = cfg.patch
+    v = cfg.upper_vars
+    dtype = skip_wm.dtype
+    nk = 2 if off[1] else 1
+    wt_pad = -(-cfg.w_tokens // 128) * 128
+
+    sel = jnp.asarray(_sel_matrix(cfg.w_tokens, wt_pad, pw, cfg.lon)
+                      ).astype(dtype)
+    wu_sk, bu = _pad_cols(p["upper"]["kernel"][:c], p["upper"]["bias"], dtype)
+    wu_dc, _ = _pad_cols(p["upper"]["kernel"][c:], p["upper"]["bias"], dtype)
+    ws_sk, bs = _pad_cols(p["surface"]["kernel"][:c], p["surface"]["bias"],
+                          dtype)
+    ws_dc, _ = _pad_cols(p["surface"]["kernel"][c:], p["surface"]["bias"],
+                         dtype)
+
+    def fullspec(shape, ng):
+        return pl.BlockSpec(shape, lambda *g: tuple(0 for _ in shape),
+                            memory_space=pltpu.VMEM)
+
+    lat_pad = nlat * wh * ph                     # 744 (24 rows per program)
+
+    # ---- upper branch: one program per (batch, z-plane, lat-window);
+    # the plane-dependent (z-window, z-part) folds into the index map ----
+    def up_chunk_spec(part_k):
+        def imap(bb, zt, lw):
+            zp = 1 + zt
+            return (bb, ((zp - off[0]) // wz) % nz,
+                    (lw - (1 if off[1] else 0) + part_k) % nlat,
+                    0, (zp - off[0]) % wz, 0)
+        return pl.BlockSpec((1, 1, 1, nlon, n // wz, c), imap,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = ([up_chunk_spec(k) for k in range(nk)]
+                + [up_chunk_spec(k) for k in range(nk)]
+                + [fullspec(wu_sk.shape, 3), fullspec(wu_dc.shape, 3),
+                   fullspec(bu.shape, 3), fullspec(sel.shape, 3)])
+    out_spec = pl.BlockSpec((1, v, pz, wh * ph, cfg.lon),
+                            lambda bb, zt, lw: (bb, 0, zt, lw, 0),
+                            memory_space=pltpu.VMEM)
+
+    upper = pl.pallas_call(
+        _make_upper_kernel(cfg, geom, off, nk, nlon),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, v, cfg.upper_planes * pz, lat_pad, cfg.lon), dtype),
+        grid=(b, cfg.upper_planes, nlat),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((wh, wt_pad, _FPAD), dtype),
+                        pltpu.VMEM((wh, v * pz * ph, cfg.lon), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * cfg.upper_planes * nlat
+            * (2 * nlon * n // wz * c * _FPAD
+               + wh * pw * (v * pz * ph) * wt_pad * cfg.lon),
+            bytes_accessed=int(2 * nk * (skip_wm.size + dec_wm.size)
+                               * dtype.itemsize // nz // 1),
+            transcendentals=0),
+        interpret=interpret,
+    )(*([skip_wm] * nk + [dec_wm] * nk + [wu_sk, wu_dc, bu, sel]))
+
+    # ---- surface branch: token plane 0 --------------------------------
+    def sf_chunk_spec(part_k):
+        zw0 = ((0 - off[0]) // wz) % nz
+        pz0 = (0 - off[0]) % wz
+
+        def imap(bb, lw):
+            return (bb, zw0, (lw - (1 if off[1] else 0) + part_k) % nlat,
+                    0, pz0, 0)
+        return pl.BlockSpec((1, 1, 1, nlon, n // wz, c), imap,
+                            memory_space=pltpu.VMEM)
+
+    sf_specs = ([sf_chunk_spec(k) for k in range(nk)]
+                + [sf_chunk_spec(k) for k in range(nk)]
+                + [fullspec(ws_sk.shape, 2), fullspec(ws_dc.shape, 2),
+                   fullspec(bs.shape, 2), fullspec(sel.shape, 2)])
+    sf_out_spec = pl.BlockSpec((1, cfg.surface_vars, wh * ph, cfg.lon),
+                               lambda bb, lw: (bb, 0, lw, 0),
+                               memory_space=pltpu.VMEM)
+
+    surface = pl.pallas_call(
+        _make_surface_kernel(cfg, geom, off, nk, nlon),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, cfg.surface_vars, lat_pad, cfg.lon), dtype),
+        grid=(b, nlat),
+        in_specs=sf_specs,
+        out_specs=sf_out_spec,
+        scratch_shapes=[pltpu.VMEM((wh, wt_pad, _FPAD), dtype),
+                        pltpu.VMEM((wh, cfg.surface_vars * ph, cfg.lon),
+                                   dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*([skip_wm] * nk + [dec_wm] * nk + [ws_sk, ws_dc, bs, sel]))
+
+    return (upper[:, :, :cfg.levels, :cfg.lat],
+            surface[:, :, :cfg.lat])

@@ -723,3 +723,117 @@ def test_run_stage_wm_lat_group_matches(stage_idx, gh):
         got = run_stage_wm(stage_params, x, geom, lat_group=gh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=1e-5)
+
+
+def test_embed_wm_matches_patch_embed():
+    """Fused embed->wm-entry kernel (ops/embed_wm.py) ==
+    to_window_major(pad(L.patch_embed(...))): normalisation, const_h /
+    const-mask channels, surface plane 0, zeroed lat-pad rows."""
+    import dataclasses
+
+    from pangu_tpu.config import TINY
+    from pangu_tpu.data.constants import synthetic_constants
+    from pangu_tpu.models import pangu
+    from pangu_tpu.ops.earth_block_wm import to_window_major
+    from pangu_tpu.ops.embed_wm import embed_supported, embed_wm
+
+    cfg = dataclasses.replace(TINY, param_dtype="float32",
+                              compute_dtype="float32")
+    assert embed_supported(cfg)
+    params = pangu.init_params(jax.random.PRNGKey(0), cfg)
+    constants = {k: jnp.asarray(v)
+                 for k, v in synthetic_constants(cfg).items()}
+    rng = np.random.default_rng(11)
+    B = 2
+    upper = jnp.asarray(rng.normal(
+        size=(B, cfg.upper_vars, cfg.levels, cfg.lat, cfg.lon)
+    ).astype(np.float32))
+    surface = jnp.asarray(rng.normal(
+        size=(B, cfg.surface_vars, cfg.lat, cfg.lon)).astype(np.float32))
+
+    want = L.patch_embed(params["patch_embed"], upper, surface, constants,
+                         cfg)
+    g0 = cfg.stage(0)
+    want = to_window_major(
+        jnp.pad(want, ((0, 0), (0, 0), (0, g0.h_padded - want.shape[2]),
+                       (0, 0), (0, 0))), g0.window)
+    with pltpu.force_tpu_interpret_mode():
+        got = embed_wm(params["patch_embed"], upper, surface, constants,
+                       cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("off", [(0, 0, 0), (1, 3, 6)])
+def test_recovery_wm_matches_patch_recovery(off):
+    """Rolled-wm recovery kernel (ops/recovery_wm.py) ==
+    patch_recovery((canon(skip), canon(dec))): roll-back stitch, crop,
+    split-row dense, (var, z_off, h_off, w_off) interleave."""
+    import dataclasses
+
+    from pangu_tpu.config import TINY
+    from pangu_tpu.models import pangu
+    from pangu_tpu.ops.earth_block_wm import to_window_major
+    from pangu_tpu.ops.recovery_wm import recovery_supported, recovery_wm
+
+    cfg = dataclasses.replace(TINY, param_dtype="float32",
+                              compute_dtype="float32")
+    assert recovery_supported(cfg)
+    params = pangu.init_params(jax.random.PRNGKey(0), cfg)
+    g3 = cfg.stage(3)
+    rng = np.random.default_rng(12)
+    B = 2
+    skip_c = jnp.asarray(rng.normal(
+        size=(B, g3.z, g3.h_padded, g3.w, g3.dim)).astype(np.float32))
+    dec_c = jnp.asarray(rng.normal(
+        size=(B, g3.z, g3.h_padded, g3.w, g3.dim)).astype(np.float32))
+    skip_s = to_window_major(
+        jnp.roll(skip_c, tuple(-o for o in off), axis=(1, 2, 3)), g3.window)
+    dec_s = to_window_major(
+        jnp.roll(dec_c, tuple(-o for o in off), axis=(1, 2, 3)), g3.window)
+
+    want_u, want_s = L.patch_recovery(
+        params["patch_recovery"],
+        (skip_c[:, :, :g3.h], dec_c[:, :, :g3.h]), cfg)
+    with pltpu.force_tpu_interpret_mode():
+        got_u, got_s = recovery_wm(params["patch_recovery"], skip_s, dec_s,
+                                   off, cfg)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_forward_edge_kernels_matches_xla_forward():
+    """forward() with edge_kernels=True (Pallas embed->wm + wm->fields
+    recovery around the all-wm trunk) == the plain XLA forward."""
+    import dataclasses
+
+    from pangu_tpu.config import TINY
+    from pangu_tpu.data.constants import synthetic_constants
+    from pangu_tpu.models import pangu
+
+    cfg_x = dataclasses.replace(TINY, param_dtype="float32",
+                                compute_dtype="float32", attn_impl="xla")
+    cfg_e = dataclasses.replace(cfg_x, attn_impl="pallas",
+                                block_layout="wm", edge_kernels=True)
+    params = pangu.init_params(jax.random.PRNGKey(0), cfg_x)
+    constants = {k: jnp.asarray(v)
+                 for k, v in synthetic_constants(cfg_x).items()}
+    rng = np.random.default_rng(13)
+    upper = jnp.asarray(rng.normal(
+        size=(1, cfg_x.upper_vars, cfg_x.levels, cfg_x.lat, cfg_x.lon)
+    ).astype(np.float32))
+    surface = jnp.asarray(rng.normal(
+        size=(1, cfg_x.surface_vars, cfg_x.lat, cfg_x.lon)
+    ).astype(np.float32))
+
+    want_u, want_s = pangu.forward(params, upper, surface, constants, cfg_x)
+    assert pangu.wm_core_supported(params, cfg_e)
+    with pltpu.force_tpu_interpret_mode():
+        got_u, got_s = pangu.forward(params, upper, surface, constants,
+                                     cfg_e)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want_u),
+                               atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               atol=5e-4, rtol=1e-4)
