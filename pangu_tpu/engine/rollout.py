@@ -127,17 +127,29 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
                                                     build_transition_wm)
         from pangu_tpu.ops.earth_block_wm import (from_window_major,
                                                   to_window_major)
+        from pangu_tpu.ops.embed_wm import embed_supported, embed_wm
+        from pangu_tpu.ops.recovery_wm import (recovery_supported,
+                                               recovery_wm)
 
         geom = cfg.stage(0)
+        edge = (cfg.edge_kernels and embed_supported(cfg)
+                and recovery_supported(cfg))
         tp = build_transition_wm(params, constants, cfg)
         cdt = jnp.dtype(cfg.compute_dtype)
-        x = _embed_per_sample(
-            lambda u, s: L.patch_embed(params["patch_embed"], u, s,
-                                       constants, cfg, precision),
-            upper.astype(cdt), surface.astype(cdt))
-        xs = to_window_major(
-            jnp.pad(x, ((0, 0), (0, 0), (0, geom.h_padded - x.shape[2]),
-                        (0, 0), (0, 0))), geom.window)
+        if edge:
+            # edge kernels write/read wm storage directly AND batch over
+            # the pallas grid, so neither the embed conv's padded-concat
+            # OOM nor the recovery interleave OOM applies at batch > 1
+            xs = embed_wm(params["patch_embed"], upper, surface, constants,
+                          cfg)
+        else:
+            x = _embed_per_sample(
+                lambda u, s: L.patch_embed(params["patch_embed"], u, s,
+                                           constants, cfg, precision),
+                upper.astype(cdt), surface.astype(cdt))
+            xs = to_window_major(
+                jnp.pad(x, ((0, 0), (0, 0), (0, geom.h_padded - x.shape[2]),
+                            (0, 0), (0, 0))), geom.window)
 
         def recover(x_cat):
             out_u, out_s = L.patch_recovery(params["patch_recovery"], x_cat,
@@ -147,6 +159,14 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
         def canon(t, off):
             t = from_window_major(t, geom.window)
             return jnp.roll(t, off, axis=(1, 2, 3))[:, :, :geom.h]
+
+        def recover_wm_final(skip, dec, off):
+            if edge:
+                out_u, out_s = recovery_wm(params["patch_recovery"], skip,
+                                           dec, off, cfg)
+                return denorm_data(out_u, out_s, constants)
+            return _recover_per_sample(recover, (canon(skip, off),
+                                                 canon(dec, off)))
 
         def body(xs, _):
             skip, dec, off = pangu.forward_core_wm(params, xs, cfg)
@@ -161,8 +181,7 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
             return final, traj
         xs, _ = jax.lax.scan(body, xs, None, length=steps - 1)
         skip, dec, off = pangu.forward_core_wm(params, xs, cfg)
-        return _recover_per_sample(recover, (canon(skip, off),
-                                             canon(dec, off)))
+        return recover_wm_final(skip, dec, off)
 
     def rollout_tokens_wm_sharded(params, upper, surface, constants, mesh):
         """The all-wm chained rollout per (dp, sp) shard: ONE shard_map
@@ -337,16 +356,24 @@ def make_hierarchical_rollout(cfg: ModelConfig, constants,
         # result), exactly like make_rollout.rollout_tokens — without it
         # GSPMD may replicate the full token state per device under a
         # dp/sp mesh. The wm layout has its own per-kernel sharding story.
+        from pangu_tpu.ops.embed_wm import embed_supported, embed_wm
+        from pangu_tpu.ops.recovery_wm import (recovery_supported,
+                                               recovery_wm)
+        edge = (use_wm and cfg.edge_kernels and embed_supported(cfg)
+                and recovery_supported(cfg))
         st = (lambda t: t) if use_wm else shard_tokens
-        x = st(_embed_per_sample(
-            lambda u, s: L.patch_embed(p0["patch_embed"], u, s, constants,
-                                       cfg, precision),
-            upper.astype(cdt), surface.astype(cdt)))
-        if use_wm:
-            x = to_window_major(
-                jnp.pad(x, ((0, 0), (0, 0),
-                            (0, geom.h_padded - x.shape[2]),
-                            (0, 0), (0, 0))), geom.window)
+        if edge:
+            x = embed_wm(p0["patch_embed"], upper, surface, constants, cfg)
+        else:
+            x = st(_embed_per_sample(
+                lambda u, s: L.patch_embed(p0["patch_embed"], u, s,
+                                           constants, cfg, precision),
+                upper.astype(cdt), surface.astype(cdt)))
+            if use_wm:
+                x = to_window_major(
+                    jnp.pad(x, ((0, 0), (0, 0),
+                                (0, geom.h_padded - x.shape[2]),
+                                (0, 0), (0, 0))), geom.window)
 
         def core(params, xx):
             if use_wm:
@@ -383,6 +410,10 @@ def make_hierarchical_rollout(cfg: ModelConfig, constants,
 
                 if use_wm:
                     skip, dec, off = x_cat
+                    if edge:
+                        out_u, out_s = recovery_wm(
+                            params["patch_recovery"], skip, dec, off, cfg)
+                        return denorm_data(out_u, out_s, constants)
 
                     def canon(t):
                         t = from_window_major(t, geom.window)

@@ -153,3 +153,31 @@ def test_wm_rollout_matches_standard_batched():
         assert x.shape == y.shape
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    atol=5e-3, rtol=1e-3)
+
+
+def test_wm_rollout_edge_kernels_matches_standard():
+    """Batch-2 all-wm rollout with edge_kernels=True (Pallas embed->wm
+    entry + batched rolled-wm recovery at the endpoints) must match the
+    standard physical-space rollout."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg = dataclasses.replace(TINY, attn_impl="pallas", block_layout="wm",
+                              edge_kernels=True)
+    consts = _consts(cfg)
+    params = pangu.init_params(jax.random.PRNGKey(7), cfg)
+    B = 2
+    u = jnp.asarray(RNG.normal(size=(B, cfg.upper_vars, cfg.levels,
+                                     cfg.lat, cfg.lon)).astype(np.float32))
+    s = jnp.asarray(RNG.normal(size=(B, cfg.surface_vars, cfg.lat,
+                                     cfg.lon)).astype(np.float32))
+
+    std = make_rollout(TINY, consts, 2)
+    a = std(params, u + 0, s + 0)
+    with pltpu.force_tpu_interpret_mode():
+        tok = make_rollout(cfg, consts, 2, token_space=True)
+        b = tok(params, u + 0, s + 0)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert x.shape == y.shape
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=5e-3, rtol=1e-3)
