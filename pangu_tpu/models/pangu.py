@@ -444,6 +444,51 @@ def forward_core_wm(params, xs, cfg: ModelConfig, *,
     return skip, dec, off3
 
 
+def forward_core_wm_train(params, xs, cfg: ModelConfig, *,
+                          rng: Optional[jax.Array] = None):
+    """Training-mode encoder/decoder trunk entirely in window-major
+    storage: whole-block forward+backward kernels with wm io
+    (ops/earth_block_bwd.run_stage_train_wm) chained through
+    differentiable wm DownSample/UpSample
+    (ops/updown_wm.down/up_sample_wm_train) — no canonical token grid,
+    no stage-boundary rolls/relayouts anywhere in the forward, and the
+    cotangent chain carries the same coordinate offsets backwards.
+
+    ``xs``: stage-0 wm entry storage (B, nz, nlat, nlon, N, C).  Returns
+    ``(skip_wm, dec_wm, off)`` exactly like :func:`forward_core_wm`.
+    Stochastic-depth streams are drawn with the SAME splits/keys as the
+    XLA path (rngs[i] per stage), so losses match bit-for-bit.
+    Gate with :func:`wm_core_supported` (single-device; the sharded
+    training path keeps the canonical per-stage kernels)."""
+    from pangu_tpu.ops.earth_block_bwd import run_stage_train_wm
+    from pangu_tpu.ops.updown_wm import (down_sample_wm_train,
+                                         up_sample_wm_train)
+
+    g0, g1 = cfg.stage(0), cfg.stage(1)
+    g2, g3 = cfg.stage(2), cfg.stage(3)
+    rates = cfg.drop_path_rates()
+    B = xs.shape[0]
+    rngs = [None] * 6
+    if rng is not None:
+        rngs = list(jax.random.split(rng, 6))
+    dr = [_stage_drops(cfg.depths[i], rates, sum(cfg.depths[:i]), rngs[i], B)
+          for i in range(4)]
+    kw = dict(fast_math=cfg.fast_math, chunk_target=cfg.lon_chunk,
+              io_in="wm", io_out="wm")
+
+    skip, off0 = run_stage_train_wm(params["stages"][0], xs, g0, dr[0], **kw)
+    x = down_sample_wm_train(params["downsample"], skip, g0, g1, off0,
+                             fast_math=cfg.fast_math)
+    combined = {"blocks": (list(params["stages"][1]["blocks"])
+                           + list(params["stages"][2]["blocks"]))}
+    x, off12 = run_stage_train_wm(combined, x, g1, dr[1] + dr[2], **kw)
+    x = up_sample_wm_train(params["upsample"], x, g2, g3, off12,
+                           fast_math=cfg.fast_math)
+    dec, off3 = run_stage_train_wm(params["stages"][3], x, g3, dr[3], **kw)
+    assert off0 == off3, "even depths keep skip and decoder in step"
+    return skip, dec, off3
+
+
 def forward(params, upper, surface, constants, cfg: ModelConfig, *,
             rng: Optional[jax.Array] = None, deterministic: bool = True,
             precision=None, taps: Optional[dict] = None):
@@ -539,6 +584,29 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
                                     precision)
         # mesh active but the wm trunk can't shard this batch: fall
         # through to the per-stage sharded paths
+    if (not deterministic and taps is None and cfg.train_fused
+            and TRAIN_FUSED and wm_core_supported(params, cfg)):
+        from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                                  to_window_major)
+        from pangu_tpu.parallel.sharding import multi_device_mesh_active
+        if not multi_device_mesh_active():
+            # training fast path: the whole trunk (blocks AND stage
+            # boundaries) runs window-major — forward relayouts/rolls
+            # exist only at the embed entry and recovery exit
+            geom = cfg.stage(0)
+            xs = to_window_major(
+                jnp.pad(x, ((0, 0), (0, 0),
+                            (0, geom.h_padded - x.shape[2]),
+                            (0, 0), (0, 0))), geom.window)
+            skip, dec, off = forward_core_wm_train(params, xs, cfg, rng=rng)
+
+            def canon(t):
+                t = from_window_major(t, geom.window)
+                return jnp.roll(t, off, axis=(1, 2, 3))[:, :, :geom.h]
+
+            return L.patch_recovery(params["patch_recovery"],
+                                    (canon(skip), canon(dec)), cfg,
+                                    precision)
     x = shard_tokens(x)
     x = forward_core(params, x, cfg, rng=rng, deterministic=deterministic,
                      precision=precision, taps=taps)

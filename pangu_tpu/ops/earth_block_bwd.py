@@ -618,18 +618,32 @@ def _block_train_core_wm(geom, delta_x: Tuple[int, int, int],
 
 def run_stage_train_wm(stage_params, x, geom, drops, *,
                        fast_math: bool = False,
-                       chunk_target: Optional[int] = None):
+                       chunk_target: Optional[int] = None,
+                       io_in: str = "canon", io_out: str = "canon"):
     """Training forward+backward of one EarthSpecificLayer through the
     mixed-layout window-major kernels (primal == run_stage_wm) with the
     whole-block backward kernel per block.
 
     Drop-in replacement for ops/earth_block_fused.run_stage_train: same
     ``drops`` contract ((B, 2) stochastic-depth branch scales per block,
-    drawn by the caller so RNG streams match the XLA path)."""
+    drawn by the caller so RNG streams match the XLA path).
+
+    ``io_in="wm"``: x is window-major entry storage in canonical
+    coordinates (down/up/embed wm output); ``io_out="wm"``: returns the
+    ROLLED wm storage plus the final offset as ``(xs, off)`` — the wm-io
+    training trunk (models/pangu.forward_core_wm_train) chains stages
+    through these with zero stage-boundary relayouts, and the cotangent
+    chain carries the same offsets backwards (a consumer's bwd hands dX
+    back in the producer's own storage coordinates, so the last block's
+    g-read offset stays (0, 0, 0))."""
     wz, wh, ww = geom.window
-    B, Z, H, W, C = x.shape
     hp = geom.h_padded
-    xs = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
+    if io_in == "wm":
+        xs = x
+        H = geom.h
+    else:
+        B, Z, H, W, C = x.shape
+        xs = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
     half = (wz // 2, wh // 2, ww // 2)
     blocks = stage_params["blocks"]
     nb = len(blocks)
@@ -650,11 +664,13 @@ def run_stage_train_wm(stage_params, x, geom, drops, *,
         drop = drops[j] if drops is not None else None
         core = _block_train_core_wm(
             geom, deltas[j], delta_g, half[1] if shifted else 0, shifted,
-            "canon" if j == 0 else "wm",
-            "canon" if j == nb - 1 else "wm",
+            "wm" if (io_in == "wm" or j > 0) else "canon",
+            "wm" if (io_out == "wm" or j < nb - 1) else "canon",
             fast_math, chunk_target, drop is not None)
         xs = core(bp, xs, drop)
 
+    if io_out == "wm":
+        return xs, off
     if off != (0, 0, 0):
         xs = jnp.roll(xs, off, axis=(1, 2, 3))
     return xs[:, :, :H]

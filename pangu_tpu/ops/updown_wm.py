@@ -19,12 +19,19 @@ kernel -> next stage entry relayout.  These kernels collapse all of it:
 Reference semantics: DownSample /root/reference/models/layers.py:423-459
 (merge order (h_off, w_off, C), LN(4C) then (4C->2C) reduction),
 UpSample layers.py:461-499 ((2C->4C') expand, depth-to-space, crop,
-LN(C'), (C'->C') mix).  Inference/rollout path only — the training chain
-keeps canonical stage boundaries and ops/updown.py's custom_vjp kernels.
+LN(C'), (C'->C') mix).
+
+Training: :func:`down_sample_wm_train` / :func:`up_sample_wm_train` wrap
+the same kernels in a custom_vjp whose backward recomputes through the
+XLA reference composition on wm storage (anti-hoist barrier as in
+ops/updown.py) — the wm-io training trunk
+(models/pangu.forward_core_wm_train) chains stage boundaries through
+these with zero forward-path relayouts.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -316,3 +323,91 @@ def up_sample_wm(p, xs, geom2, geom3, off: Tuple[int, int, int],
             bytes_accessed=int(2 * xs.size * dt.itemsize),
             transcendentals=0),
     )(*([xs] * 2 + [we, ns, nb, wm]))
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wm stage boundaries for the training trunk
+# ---------------------------------------------------------------------------
+#
+# Primal = the Pallas kernels above (fast path); backward = jax.vjp of the
+# XLA reference composition on the SAME wm storage (from_wm -> roll-back ->
+# crop -> L.down/up_sample -> zero-pad -> to_wm).  The crop kills the junk
+# lat-pad rows' gradients (the kernels zero-synthesise those rows on read,
+# so their cotangent must be zero), and the zero-pad on the output side is
+# consistent because the consumer (run_stage_train_wm io_in="wm") re-zeroes
+# the pad rows' dx on write.  Recompute cost is two boundary chains in the
+# backward only; the forward never materialises a canonical token grid.
+
+@functools.lru_cache(maxsize=16)
+def _down_wm_train_core(geom0, geom1, off: Tuple[int, int, int],
+                        fast_math: bool):
+    from pangu_tpu.models import layers as L
+    from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                              to_window_major)
+
+    def ref(p, xs):
+        x = from_window_major(xs, geom0.window)
+        x = jnp.roll(x, off, axis=(1, 2, 3))[:, :, :geom0.h]
+        y = L.down_sample(p, x)
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, geom1.h_padded - geom1.h),
+                        (0, 0), (0, 0)))
+        return to_window_major(y, geom1.window)
+
+    @jax.custom_vjp
+    def fused(p, xs):
+        return down_sample_wm(p, xs, geom0, geom1, off,
+                              fast_math=fast_math)
+
+    def fwd(p, xs):
+        return fused(p, xs), (p, xs)
+
+    def bwd(res, g):
+        res, g = jax.lax.optimization_barrier((res, g))
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def down_sample_wm_train(p, xs, geom0, geom1, off: Tuple[int, int, int],
+                         *, fast_math: bool = False):
+    """Differentiable window-major DownSample (training trunk)."""
+    return _down_wm_train_core(geom0, geom1, tuple(off), fast_math)(p, xs)
+
+
+@functools.lru_cache(maxsize=16)
+def _up_wm_train_core(geom2, geom3, off: Tuple[int, int, int],
+                      fast_math: bool):
+    from pangu_tpu.models import layers as L
+    from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                              to_window_major)
+
+    def ref(p, xs):
+        x = from_window_major(xs, geom2.window)
+        x = jnp.roll(x, off, axis=(1, 2, 3))[:, :, :geom2.h]
+        y = L.up_sample(p, x, geom3.h)
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, geom3.h_padded - geom3.h),
+                        (0, 0), (0, 0)))
+        return to_window_major(y, geom3.window)
+
+    @jax.custom_vjp
+    def fused(p, xs):
+        return up_sample_wm(p, xs, geom2, geom3, off, fast_math=fast_math)
+
+    def fwd(p, xs):
+        return fused(p, xs), (p, xs)
+
+    def bwd(res, g):
+        res, g = jax.lax.optimization_barrier((res, g))
+        _, vjp = jax.vjp(ref, *res)
+        return vjp(g)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def up_sample_wm_train(p, xs, geom2, geom3, off: Tuple[int, int, int],
+                       *, fast_math: bool = False):
+    """Differentiable window-major UpSample (training trunk)."""
+    return _up_wm_train_core(geom2, geom3, tuple(off), fast_math)(p, xs)

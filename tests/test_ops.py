@@ -449,6 +449,55 @@ def test_forward_train_rng_parity_pallas_vs_xla():
                                rtol=1e-4)
 
 
+def test_forward_train_wm_trunk_grads_match_xla():
+    """The all-window-major training trunk (forward_core_wm_train via
+    pangu.forward with deterministic=False: wm-io whole-block bwd kernels
+    + differentiable wm down/up boundaries) must match the XLA path in
+    BOTH loss value and every parameter/input gradient, with the same
+    drop-path RNG stream."""
+    import dataclasses
+    from pangu_tpu.config import TINY
+    from pangu_tpu.data.constants import synthetic_constants
+    from pangu_tpu.models import pangu
+
+    consts = {k: jnp.asarray(v) for k, v in synthetic_constants(TINY).items()}
+    params = pangu.init_params(jax.random.PRNGKey(4), TINY)
+    rng = np.random.default_rng(17)
+    u = jnp.asarray(rng.normal(size=(2, 5, TINY.levels, TINY.lat, TINY.lon)
+                               ).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(2, 4, TINY.lat, TINY.lon)
+                               ).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+
+    cfg_x = dataclasses.replace(TINY, attn_impl="xla")
+    cfg_p = dataclasses.replace(TINY, attn_impl="pallas", block_layout="wm")
+
+    def loss(cfg):
+        def f(p, uu, ss):
+            wu, ws = pangu.forward(p, uu, ss, consts, cfg, rng=key,
+                                   deterministic=False)
+            return jnp.sum(wu ** 2) + jnp.sum(ws ** 2)
+        return f
+
+    vr, gr = jax.value_and_grad(loss(cfg_x), argnums=(0, 1, 2))(params, u, s)
+    with pltpu.force_tpu_interpret_mode():
+        vf, gf = jax.value_and_grad(loss(cfg_p), argnums=(0, 1, 2))(
+            params, u, s)
+
+    np.testing.assert_allclose(float(vf), float(vr), rtol=2e-5)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_r = jax.tree.leaves(gr)
+    assert len(flat_f) == len(flat_r)
+    for (path, a), b in zip(flat_f, flat_r):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(1.0, float(np.max(np.abs(b))))
+        d = float(np.max(np.abs(a - b)))
+        assert d <= 5e-5 * scale, (
+            f"{jax.tree_util.keystr(path)}: maxdiff {d:.3e} vs "
+            f"scale {scale:.3e}")
+
+
 @pytest.mark.parametrize("odd_h", [True, False])
 def test_down_up_sample_fused_match_xla(odd_h):
     """Fused down/up-sample kernels == the XLA compositions (values and
