@@ -1,27 +1,37 @@
 """Benchmark: full-size Pangu-Weather 24h forecast step latency on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is the speedup vs the 150 ms v5p-8 north-star target
-(BASELINE.json); this measures whatever single chip is attached.
+Prints the primary metric as ONE JSON line the moment the rollout
+measurement lands — {"metric", "value", "unit", "vs_baseline", ...} —
+then best-effort measures the secondaries (cold single step, full train
+step, batch-4 rollout) under a global wall-clock deadline, RE-PRINTING
+the enriched JSON line after each success.  Every line on stdout is a
+complete, valid JSON object with the same schema; progress goes to
+stderr only.  Whatever line is last on stdout when an outer timeout
+kills the process is therefore parseable and as complete as possible.
 
 Methodology: the step is timed inside a 10-iteration autoregressive
 rollout (lax.scan with donated state) on fresh inputs — chained data
 dependencies make every step's work real (no result caching) and this is
 the serving-relevant access pattern (inference/inference_singleOutput.py's
-multi-day loop in the reference).
+multi-day loop in the reference).  The train metric times the jitted
+full-geometry fwd+bwd+Adam step (remat, fused kernels), chained through
+the evolving optimizer state (models/pangu_sample.py:11-176 is the loop
+it replaces).
 
 Outage hardening (the TPU tunnel has documented multi-hour outages where
 backend init hangs ~20-25 min): the parent process NEVER imports jax.
 It first probes the backend in a strictly timeout-bounded subprocess;
 if the probe can't produce a backend inside PROBE_TIMEOUT_S (twice),
 it prints a structured error JSON and exits — total wall clock on the
-outage path is ~5 minutes, never a driver-side rc=124. Measurement
-attempts are each bounded too, with a cheap re-probe between retries.
+outage path is ~5 minutes, never a driver-side rc=124.  Warm-ups and
+measurements each run in their own bounded subprocess from the
+persistent compile cache, so no single slow program can sink the rest.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -34,21 +44,54 @@ WARM_TIMEOUT_S = 1500      # per-program compile+cache budget (remote
                            # compile of one full-geometry program has been
                            # observed at ~19 min on a degraded tunnel)
 # Per-metric measurement budgets (each metric runs in its OWN bounded
-# subprocess from a warm compile cache, so a slow secondary can never
-# sink the primary; trace + cache-load of one full-geometry program is
-# minutes even when fully cached)
-MEASURE_TIMEOUT_S = {"rollout": 700, "single": 700, "batch4": 1300}
-# batch4 r03 field data: warm-cache setup + first batched rollout missed
-# a 700 s budget twice (the batched programs load/compile slower than
-# they run); 1300 s keeps the worst case bounded while fitting the
-# observed ~330 s warm + timed iterations
+# subprocess from a warm compile cache; trace + cache-load of one
+# full-geometry program is minutes even when fully cached)
+MEASURE_TIMEOUT_S = {"rollout": 700, "single": 700, "train": 900,
+                     "batch4": 1300}
+# Secondary metrics run only while this much wall clock (from process
+# start) remains un-spent; the PRIMARY ignores it (it is bounded by its
+# own subprocess timeouts).  r03 post-mortem: the driver's outer timeout
+# killed the process after ~35 min with the rollout already measured —
+# the deadline makes us print-then-improve instead of print-at-the-end.
+DEADLINE_S = float(os.environ.get("PANGU_BENCH_DEADLINE_S", 3300))
 
 _METRIC = "pangu24_forward_step_latency"
+_T_START = time.monotonic()
 
 
-def _error_json(msg: str) -> str:
-    return json.dumps({"metric": _METRIC, "value": None, "unit": "ms",
-                       "vs_baseline": None, "error": msg})
+def _remaining() -> float:
+    return DEADLINE_S - (time.monotonic() - _T_START)
+
+
+def _log(msg: str) -> None:
+    sys.stderr.write(f"[bench {time.monotonic() - _T_START:6.0f}s] {msg}\n")
+    sys.stderr.flush()
+
+
+def _result_json(results: dict, error: str | None = None) -> str:
+    """The one output schema. results may hold rollout/single/train/batch4
+    per-step ms; missing secondaries are null."""
+    best = results.get("rollout")
+    single = results.get("single")
+    train = results.get("train")
+    bt = results.get("batch4")
+    out = {
+        "metric": _METRIC,
+        "value": None if best is None else round(best, 2),
+        "unit": "ms",
+        "vs_baseline": None if best is None else round(BASELINE_MS / best, 3),
+        "single_step_cold_ms": None if single is None else round(single, 2),
+        "train_step_ms": None if train is None else round(train, 2),
+        "batch4_steps_per_sec_chip": (None if bt is None
+                                      else round(4 / (bt / 1e3), 2)),
+    }
+    if error is not None:
+        out["error"] = error
+    return json.dumps(out)
+
+
+def _emit(results: dict, error: str | None = None) -> None:
+    print(_result_json(results, error), flush=True)
 
 
 def probe_backend(timeout_s: float) -> str | None:
@@ -67,102 +110,102 @@ def probe_backend(timeout_s: float) -> str | None:
     return None
 
 
+def _run_child(mode: str, prog: str, timeout_s: float):
+    """Run one --warm/--measure child, bounded. Returns (ok, value|None,
+    failure_str|None)."""
+    t0 = time.monotonic()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", __file__, f"--{mode}", prog],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _log(f"{mode} {prog}: timed out ({timeout_s:.0f}s)")
+        return False, None, f"{prog} {mode} timed out after {timeout_s:.0f}s"
+    dt = time.monotonic() - t0
+    if proc.returncode != 0:
+        _log(f"{mode} {prog}: rc={proc.returncode} ({dt:.0f}s)")
+        sys.stderr.write(proc.stdout[-1500:] + proc.stderr[-2500:] + "\n")
+        return False, None, f"{prog} {mode} rc={proc.returncode}"
+    if mode == "warm":
+        _log(f"warm {prog}: ok ({dt:.0f}s)")
+        return True, None, None
+    line = next((ln for ln in proc.stdout.splitlines()
+                 if ln.startswith('{"value"')), None)
+    if line is None:
+        _log(f"measure {prog}: rc=0 but no value line ({dt:.0f}s)")
+        return False, None, f"{prog} measure produced no value"
+    val = json.loads(line)["value"]
+    _log(f"measure {prog}: {val:.2f} ms ({dt:.0f}s)")
+    return True, val, None
+
+
+def _warm_and_measure(prog: str, results: dict, budget_cap: float | None,
+                      tries: int = 2) -> str | None:
+    """Warm then measure one program, each in a bounded subprocess.
+    Returns None on success (results updated) else a failure string."""
+    warm_budget = WARM_TIMEOUT_S if budget_cap is None else min(
+        WARM_TIMEOUT_S, budget_cap)
+    ok, _, fail = _run_child("warm", prog, warm_budget)
+    if not ok and probe_backend(120) is None:
+        return f"backend lost during {prog} warm-up ({fail})"
+    # warm failures are non-fatal: every compile that completed persists
+    # in the cache, and the measure attempt warms the remainder itself
+    last = None
+    for attempt in range(tries):
+        budget = MEASURE_TIMEOUT_S[prog]
+        if budget_cap is not None:
+            budget = min(budget, _remaining())
+            if budget < 60:
+                return f"{prog}: deadline exhausted before measure"
+        ok, val, fail = _run_child("measure", prog, budget)
+        if ok:
+            results[prog] = val
+            return None
+        last = fail
+        if attempt + 1 < tries and probe_backend(120) is None:
+            return f"backend lost mid-run ({last}); re-probe timed out"
+        if budget_cap is not None and _remaining() < 120:
+            break
+    return last
+
+
 def main_with_retries() -> int:
-    """Probe-gated, wall-clock-bounded measurement. Always prints exactly
+    """Probe-gated, measure-first, print-early. Always prints at least
     one JSON line (result or structured error) before returning."""
-    t_start = time.monotonic()
     backend = probe_backend(PROBE_TIMEOUT_S)
     if backend is None:
-        sys.stderr.write("[bench] backend probe 1 failed; re-probing\n")
+        _log("backend probe 1 failed; re-probing")
         backend = probe_backend(PROBE_TIMEOUT_S)
     if backend is None:
-        print(_error_json(
+        _emit({}, error=(
             f"jax backend unavailable: two init probes exceeded "
             f"{PROBE_TIMEOUT_S}s each (TPU tunnel outage?)"))
         return 0
-    sys.stderr.write(f"[bench] backend={backend}\n")
+    _log(f"backend={backend}; deadline={DEADLINE_S:.0f}s")
 
-    # ---- incremental cache warm-up --------------------------------------
-    # The three timed programs (rollout, cold single step, batch-4 rollout)
-    # each cost minutes of remote compile when uncached.  A single attempt
-    # budget can cover at most ONE such compile, so warm them one program
-    # per bounded subprocess: every compile that completes persists in the
-    # cache even if a later one times out, and the measurement attempts
-    # below then start fully cached.  Warm failures are non-fatal.
-    for prog in ("rollout", "single", "batch4"):
-        t0 = time.monotonic()
-        try:
-            wp = subprocess.run(
-                [sys.executable, "-u", __file__, "--warm", prog],
-                capture_output=True, text=True, timeout=WARM_TIMEOUT_S)
-            status = f"rc={wp.returncode}"
-            if wp.returncode != 0:
-                sys.stderr.write(wp.stdout[-1500:] + wp.stderr[-2500:] + "\n")
-        except subprocess.TimeoutExpired:
-            status = "timed out"
-        sys.stderr.write(f"[bench] warm {prog}: {status} "
-                         f"({time.monotonic() - t0:.0f}s)\n")
-        if status != "rc=0" and probe_backend(120) is None:
-            print(_error_json(
-                f"backend lost during cache warm-up ({prog}: {status})"))
-            return 0
-
-    # ---- per-metric measurement: each metric gets its own bounded
-    # subprocess (2 tries), so a slow/failed secondary can never cost the
-    # primary its result ---------------------------------------------------
     results: dict = {}
-    last_failure = "unknown"
-    for prog in ("rollout", "single", "batch4"):
-        budget = MEASURE_TIMEOUT_S[prog]
-        for attempt in range(2):
-            try:
-                proc = subprocess.run(
-                    [sys.executable, "-u", __file__, "--measure", prog],
-                    capture_output=True, text=True, timeout=budget)
-            except subprocess.TimeoutExpired:
-                sys.stderr.write(f"[bench] measure {prog} try {attempt + 1} "
-                                 f"timed out ({budget}s)\n")
-                last_failure = f"{prog} timed out after {budget}s"
-                proc = None
-            if proc is not None:
-                line = next((ln for ln in proc.stdout.splitlines()
-                             if ln.startswith('{"value"')), None)
-                if proc.returncode == 0 and line:
-                    results[prog] = json.loads(line)["value"]
-                    sys.stderr.write(f"[bench] measure {prog}: "
-                                     f"{results[prog]}\n")
-                    break
-                sys.stderr.write(
-                    f"[bench] measure {prog} try {attempt + 1} failed "
-                    f"(rc={proc.returncode})\n" + proc.stdout[-1500:]
-                    + proc.stderr[-2500:] + "\n")
-                last_failure = f"{prog} rc={proc.returncode}"
-            # cheap bounded probe before a retry: don't burn a second
-            # budget against a dead tunnel
-            if attempt == 0 and probe_backend(120) is None:
-                print(_error_json(
-                    f"backend lost mid-run ({last_failure}); re-probe "
-                    f"timed out"))
-                return 0
 
-    best = results.get("rollout")
-    if best is None:
-        elapsed = time.monotonic() - t_start
-        print(_error_json(
-            f"primary rollout measurement failed ({last_failure}); "
-            f"{elapsed:.0f}s elapsed"))
+    # ---- PRIMARY: rollout. Warm, measure, PRINT. Nothing may run
+    # before this line lands on stdout. -----------------------------------
+    fail = _warm_and_measure("rollout", results, budget_cap=None)
+    if fail is not None:
+        _emit(results, error=f"primary rollout measurement failed ({fail})")
         return 0
-    single = results.get("single")
-    bt = results.get("batch4")
-    print(json.dumps({
-        "metric": _METRIC,
-        "value": round(best, 2),
-        "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / best, 3),
-        "single_step_cold_ms": (None if single is None else round(single, 2)),
-        "batch4_steps_per_sec_chip": (None if bt is None
-                                      else round(4 / (bt / 1e3), 2)),
-    }))
+    _emit(results)
+
+    # ---- SECONDARIES: best-effort under the global deadline; the JSON
+    # line is re-printed (complete schema) after each success. ------------
+    for prog in ("single", "train", "batch4"):
+        rem = _remaining()
+        if rem < 180:
+            _log(f"skipping {prog}: {rem:.0f}s left under deadline")
+            break
+        fail = _warm_and_measure(prog, results, budget_cap=rem)
+        if fail is None:
+            _emit(results)
+        elif "backend lost" in (fail or ""):
+            _log(f"stopping secondaries: {fail}")
+            break
     return 0
 
 
@@ -193,10 +236,8 @@ def _best_valid(times: list, retime, label: str):
     return min(valid) if valid else None
 
 
-def _setup():
+def _setup(need_rollout: bool = True):
     """Shared model/rollout construction for warm and measurement modes."""
-    import os
-
     import jax
 
     # Persistent compilation cache: the ~16 distinct Mosaic kernel
@@ -231,7 +272,8 @@ def _setup():
                  for k, v in synthetic_constants(cfg).items()}
     # token-space chaining: recovery->embed fused between autoregressive
     # steps (engine/transition.py) — 220 -> 171 ms/step on v5e
-    roll = make_rollout(cfg, constants, STEPS, token_space=True)
+    roll = (make_rollout(cfg, constants, STEPS, token_space=True)
+            if need_rollout else None)
 
     def fresh(seed, batch=1):
         # float32 draws directly: the fp64 default costs ~2.2 GB of host
@@ -253,15 +295,51 @@ def _make_single_step(jax, cfg, params, constants):
     return lambda uu, ss: jstep(params, uu, ss, constants)
 
 
+def _make_train(jax, constants):
+    """Jitted full-geometry train step (fwd+bwd+Adam, remat, fused
+    kernels) + initial state + a fixed batch; chaining runs through the
+    evolving optimizer state (replaces models/pangu_sample.py:11-176)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pangu_tpu.config import PANGU_24, TrainConfig
+    from pangu_tpu.engine import train as T
+    from pangu_tpu.models import pangu
+
+    cfg = dataclasses.replace(PANGU_24, param_dtype="bfloat16",
+                              compute_dtype="bfloat16", remat=True,
+                              attn_impl="pallas")
+    tcfg = TrainConfig(batch_size=1)
+    params = pangu.init_params(jax.random.PRNGKey(0), cfg)
+    tx = T.make_optimizer(tcfg, steps_per_epoch=100)
+    state = T.create_train_state(params, tx)
+    r = np.random.default_rng(0)
+    u, s = (r.standard_normal((1, cfg.upper_vars, cfg.levels, cfg.lat,
+                               cfg.lon), dtype=np.float32),
+            r.standard_normal((1, cfg.surface_vars, cfg.lat, cfg.lon),
+                              dtype=np.float32))
+    batch = {"upper": jnp.asarray(u), "surface": jnp.asarray(s),
+             "target_upper": jnp.asarray(u), "target_surface": jnp.asarray(s)}
+    step = T.make_train_step(cfg, tcfg, constants, tx, donate=True)
+    return step, state, batch
+
+
 def warm(prog: str):
     """Compile + run ONE of the timed programs so its executable lands in
     the persistent cache; bounded by the parent."""
-    jax, cfg, params, constants, roll, fresh = _setup()
+    jax, cfg, params, constants, roll, fresh = _setup(
+        need_rollout=prog in ("rollout", "batch4"))
     if prog == "rollout":
         jax.block_until_ready(roll(params, *fresh(0)))
     elif prog == "single":
         step = _make_single_step(jax, cfg, params, constants)
         jax.block_until_ready(step(*fresh(100)))
+    elif prog == "train":
+        step, state, batch = _make_train(jax, constants)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(metrics)
     elif prog == "batch4":
         jax.block_until_ready(roll(params, *fresh(5000, batch=4)))
     else:
@@ -271,7 +349,8 @@ def warm(prog: str):
 def measure(prog: str):
     """Measure ONE metric (per-step ms) from a warm compile cache and
     print a tiny {"value": N} JSON line; bounded by the parent."""
-    jax, cfg, params, constants, roll, fresh = _setup()
+    jax, cfg, params, constants, roll, fresh = _setup(
+        need_rollout=prog in ("rollout", "batch4"))
 
     if prog == "rollout":
         jax.block_until_ready(roll(params, *fresh(0)))
@@ -286,6 +365,21 @@ def measure(prog: str):
         jax.block_until_ready(step(*fresh(100)))
         val = _best_valid(_timed(step, fresh, 3, 1.0),
                           lambda: _timed(step, fresh, 5, 1.0), "single")
+    elif prog == "train":
+        step, state, batch = _make_train(jax, constants)
+        times = []
+        for i in range(8):
+            t0 = time.perf_counter()
+            state, metrics = step(state, batch, jax.random.PRNGKey(10 + i))
+            jax.block_until_ready(metrics)
+            times.append((time.perf_counter() - t0) * 1e3)
+        # first iters include compile/cache-load; the evolving optimizer
+        # state chains the rest (no dispatch caching possible). Median of
+        # the last 5 rides out the known allocator-stall outliers.
+        tail = sorted(times[3:])
+        val = tail[len(tail) // 2]
+        sys.stderr.write(f"[bench] train times: "
+                         f"{[round(t, 1) for t in times]}\n")
     elif prog == "batch4":
         rollfn = lambda u, s: roll(params, u, s)
         fresh_b = lambda seed: fresh(seed + 5000, batch=4)

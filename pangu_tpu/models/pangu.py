@@ -506,8 +506,8 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
     upper = upper.astype(cdt)
     surface = surface.astype(cdt)
 
-    if (deterministic and taps is None and cfg.edge_kernels
-            and wm_core_supported(params, cfg)):
+    if (deterministic and taps is None and precision is None
+            and cfg.edge_kernels and wm_core_supported(params, cfg)):
         # edge-kernel fast path: embed writes the wm entry storage
         # directly and recovery reads the rolled wm exit pair directly —
         # neither the canonical token grid nor its relayouts ever exist

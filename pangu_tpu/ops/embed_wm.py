@@ -60,7 +60,7 @@ def embed_supported(cfg: ModelConfig) -> bool:
     pz, ph, pw = cfg.patch
     wz, wh, ww = geom.window
     return (pw == 4 and ph == 4 and pz == 2 and wz == 2
-            and cfg.lon % ww == 0 and wh % 2 == 0
+            and cfg.w_tokens % ww == 0 and wh % 2 == 0
             and (cfg.upper_vars + 1) * pz * ph % 8 == 0)
 
 
