@@ -445,7 +445,9 @@ def forward_core_wm(params, xs, cfg: ModelConfig, *,
 
 
 def forward_core_wm_train(params, xs, cfg: ModelConfig, *,
-                          rng: Optional[jax.Array] = None):
+                          rng: Optional[jax.Array] = None,
+                          drops: Optional[list] = None,
+                          sp_axis: Optional[str] = None, sp_size: int = 1):
     """Training-mode encoder/decoder trunk entirely in window-major
     storage: whole-block forward+backward kernels with wm io
     (ops/earth_block_bwd.run_stage_train_wm) chained through
@@ -457,24 +459,35 @@ def forward_core_wm_train(params, xs, cfg: ModelConfig, *,
     ``xs``: stage-0 wm entry storage (B, nz, nlat, nlon, N, C).  Returns
     ``(skip_wm, dec_wm, off)`` exactly like :func:`forward_core_wm`.
     Stochastic-depth streams are drawn with the SAME splits/keys as the
-    XLA path (rngs[i] per stage), so losses match bit-for-bit.
-    Gate with :func:`wm_core_supported` (single-device; the sharded
-    training path keeps the canonical per-stage kernels)."""
+    XLA path (rngs[i] per stage), so losses match bit-for-bit; under
+    ``shard_map`` pass pre-drawn per-stage ``drops`` instead (drawn at
+    GLOBAL batch size outside the shard_map, dp-sharded on axis 0) so
+    every batch row keeps its single-device stream.
+
+    Under ``shard_map`` with longitude sharded over ``sp_axis``, xs is
+    the LOCAL shard: each shifted block's lon component runs as a
+    differentiable ppermute halo at the storage level
+    (ops/earth_block_wm._lon_shift_wm) and the returned ``off`` has lon
+    component 0 — the down/up/recovery consumers stitch only z/lat.
+    Gate with :func:`wm_core_supported`."""
     from pangu_tpu.ops.earth_block_bwd import run_stage_train_wm
     from pangu_tpu.ops.updown_wm import (down_sample_wm_train,
                                          up_sample_wm_train)
 
     g0, g1 = cfg.stage(0), cfg.stage(1)
     g2, g3 = cfg.stage(2), cfg.stage(3)
-    rates = cfg.drop_path_rates()
-    B = xs.shape[0]
-    rngs = [None] * 6
-    if rng is not None:
-        rngs = list(jax.random.split(rng, 6))
-    dr = [_stage_drops(cfg.depths[i], rates, sum(cfg.depths[:i]), rngs[i], B)
-          for i in range(4)]
+    if drops is None:
+        rates = cfg.drop_path_rates()
+        B = xs.shape[0]
+        rngs = [None] * 6
+        if rng is not None:
+            rngs = list(jax.random.split(rng, 6))
+        dr = [_stage_drops(cfg.depths[i], rates, sum(cfg.depths[:i]),
+                           rngs[i], B) for i in range(4)]
+    else:
+        dr = drops
     kw = dict(fast_math=cfg.fast_math, chunk_target=cfg.lon_chunk,
-              io_in="wm", io_out="wm")
+              io_in="wm", io_out="wm", sp_axis=sp_axis, sp_size=sp_size)
 
     skip, off0 = run_stage_train_wm(params["stages"][0], xs, g0, dr[0], **kw)
     x = down_sample_wm_train(params["downsample"], skip, g0, g1, off0,
@@ -589,6 +602,51 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
         from pangu_tpu.ops.earth_block_wm import (from_window_major,
                                                   to_window_major)
         from pangu_tpu.parallel.sharding import multi_device_mesh_active
+        mesh = wm_core_mesh(cfg)
+        if mesh is not None and x.shape[0] % dict(mesh.shape)["dp"] == 0:
+            # >1-device mesh: the whole wm TRAINING trunk per (dp, sp)
+            # shard — the lon component of every half-window shift is a
+            # differentiable ppermute halo (run_stage_train_wm sp_axis),
+            # and shard_map's transpose psums the replicated parameter
+            # grads across shards (the gradient sync the reference's DDP
+            # setup forgot, /root/reference/era5_data/utils_dist.py:125).
+            # Stochastic-depth scales are drawn OUTSIDE the shard_map at
+            # global batch size (dp-sharded on axis 0) so every batch row
+            # keeps its single-device stream bit-for-bit.
+            from jax.sharding import PartitionSpec as P
+            geom = cfg.stage(0)
+            rates = cfg.drop_path_rates()
+            B = x.shape[0]
+            rngs = [None] * 6
+            if rng is not None:
+                rngs = list(jax.random.split(rng, 6))
+            dr = [_stage_drops(cfg.depths[i], rates, sum(cfg.depths[:i]),
+                               rngs[i], B) for i in range(4)]
+            sp_size = dict(mesh.shape)["sp"]
+
+            def trunk_train(p, xc, drs):
+                xsl = to_window_major(
+                    jnp.pad(xc, ((0, 0), (0, 0),
+                                 (0, geom.h_padded - xc.shape[2]),
+                                 (0, 0), (0, 0))), geom.window)
+                sk, de, off = forward_core_wm_train(
+                    p, xsl, cfg, drops=drs, sp_axis="sp", sp_size=sp_size)
+
+                def canon_l(t):
+                    t = from_window_major(t, geom.window)
+                    # off has lon component 0 per-shard: local roll only
+                    return jnp.roll(t, off[:2],
+                                    axis=(1, 2))[:, :, :geom.h]
+
+                return canon_l(sk), canon_l(de)
+
+            spec = P("dp", None, None, "sp", None)
+            spec_d = jax.tree.map(lambda _: P("dp", None), dr)
+            skip, dec = jax.shard_map(
+                trunk_train, mesh=mesh, in_specs=(P(), spec, spec_d),
+                out_specs=(spec, spec), check_vma=False)(params, x, dr)
+            return L.patch_recovery(params["patch_recovery"],
+                                    (skip, dec), cfg, precision)
         if not multi_device_mesh_active():
             # training fast path: the whole trunk (blocks AND stage
             # boundaries) runs window-major — forward relayouts/rolls

@@ -619,7 +619,8 @@ def _block_train_core_wm(geom, delta_x: Tuple[int, int, int],
 def run_stage_train_wm(stage_params, x, geom, drops, *,
                        fast_math: bool = False,
                        chunk_target: Optional[int] = None,
-                       io_in: str = "canon", io_out: str = "canon"):
+                       io_in: str = "canon", io_out: str = "canon",
+                       sp_axis: Optional[str] = None, sp_size: int = 1):
     """Training forward+backward of one EarthSpecificLayer through the
     mixed-layout window-major kernels (primal == run_stage_wm) with the
     whole-block backward kernel per block.
@@ -635,7 +636,19 @@ def run_stage_train_wm(stage_params, x, geom, drops, *,
     through these with zero stage-boundary relayouts, and the cotangent
     chain carries the same offsets backwards (a consumer's bwd hands dX
     back in the producer's own storage coordinates, so the last block's
-    g-read offset stays (0, 0, 0))."""
+    g-read offset stays (0, 0, 0)).
+
+    Under ``shard_map`` with longitude windows sharded over mesh axis
+    ``sp_axis`` (``sp_size`` shards), x is the LOCAL shard: the lon
+    component of each half-window shift runs as a storage-level
+    ``_lon_shift_wm`` (one-window-column ppermute halo + sublane rolls,
+    an ordinary differentiable op OUTSIDE the custom_vjp kernels — its
+    reverse ppermute comes for free from the transpose) and the kernels
+    keep only the z/lat stitch; shard_map's transpose then psums the
+    replicated parameter gradients across shards.  The returned ``off``
+    has lon component 0, so wm consumers never need a cross-shard read."""
+    from pangu_tpu.ops.earth_block_wm import _lon_shift_wm
+
     wz, wh, ww = geom.window
     hp = geom.h_padded
     if io_in == "wm":
@@ -647,6 +660,7 @@ def run_stage_train_wm(stage_params, x, geom, drops, *,
     half = (wz // 2, wh // 2, ww // 2)
     blocks = stage_params["blocks"]
     nb = len(blocks)
+    sharded = sp_axis is not None and sp_size > 1
 
     deltas, off = [], (0, 0, 0)
     for j in range(nb):
@@ -654,23 +668,46 @@ def run_stage_train_wm(stage_params, x, geom, drops, *,
         deltas.append(tuple(t - o for t, o in zip(target, off)))
         off = target
 
+    def kdelta(j):
+        """The delta the block-j KERNEL sees: under lon sharding the lon
+        component is resolved at the storage level before the kernel."""
+        d = deltas[j]
+        if sharded and d[2] and (io_in == "wm" or j > 0):
+            return (d[0], d[1], 0)
+        return d
+
     for j, bp in enumerate(blocks):
         shifted = (j % 2 == 1)
+        delta = deltas[j]
+        in_l = "wm" if (io_in == "wm" or j > 0) else "canon"
+        out_l = "wm" if (io_out == "wm" or j < nb - 1) else "canon"
+        if sharded and delta[2] and in_l == "wm":
+            xs = _lon_shift_wm(xs, delta[2], ww, sp_axis, sp_size)
+            delta = (delta[0], delta[1], 0)
         # block j+1 wrote dx in its own window coords: array position t
-        # holds the cotangent of storage token t + delta_{j+1}, so the
-        # g-read offset is the NEGATED next-block delta
-        delta_g = (tuple(-d for d in deltas[j + 1]) if j + 1 < nb
+        # holds the cotangent of storage token t + kdelta_{j+1} (the lon
+        # component, when storage-resolved, is undone by the lon shift's
+        # own transpose), so the g-read offset is the NEGATED next-block
+        # kernel delta
+        delta_g = (tuple(-d for d in kdelta(j + 1)) if j + 1 < nb
                    else (0, 0, 0))
         drop = drops[j] if drops is not None else None
         core = _block_train_core_wm(
-            geom, deltas[j], delta_g, half[1] if shifted else 0, shifted,
-            "wm" if (io_in == "wm" or j > 0) else "canon",
-            "wm" if (io_out == "wm" or j < nb - 1) else "canon",
-            fast_math, chunk_target, drop is not None)
+            geom, delta, delta_g, half[1] if shifted else 0, shifted,
+            in_l, out_l, fast_math, chunk_target, drop is not None)
         xs = core(bp, xs, drop)
 
     if io_out == "wm":
+        if sharded and off[2]:
+            # hand consumers a lon-canonical shard: they stitch only z/lat
+            xs = _lon_shift_wm(xs, -off[2], ww, sp_axis, sp_size)
+            off = (off[0], off[1], 0)
         return xs, off
     if off != (0, 0, 0):
-        xs = jnp.roll(xs, off, axis=(1, 2, 3))
+        if sharded:
+            from pangu_tpu.ops.earth_block_fused import _lon_shift
+            xs = jnp.roll(xs, off[:2], axis=(1, 2))
+            xs = _lon_shift(xs, -off[2], sp_axis, sp_size)
+        else:
+            xs = jnp.roll(xs, off, axis=(1, 2, 3))
     return xs[:, :, :H]

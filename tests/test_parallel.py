@@ -288,6 +288,146 @@ def test_wm_rollout_shard_map_matches_single_device(problem):
                                    atol=5e-3, rtol=1e-3)
 
 
+def test_sharded_wm_train_stage_matches_xla(problem):
+    """run_stage_train_wm under shard_map (window-major whole-block
+    fwd+bwd kernels per (dp, sp) shard, lon shifts as differentiable
+    one-window-column ppermute halos OUTSIDE the custom_vjp cores):
+    value AND all gradients must match the unsharded XLA composition
+    (VERDICT round-3 item 3)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import PartitionSpec as P
+
+    from pangu_tpu.models import layers as L
+    from pangu_tpu.ops.earth_block_bwd import run_stage_train_wm
+
+    params, _, _ = problem
+    stage_idx, depth = 1, 4
+    geom = CFG.stage(stage_idx)
+    blocks = params["stages"][stage_idx]["blocks"]
+    sp_params = {"blocks": (list(blocks) * 2)[:depth]}
+    B = 2
+    rng = np.random.default_rng(29)
+    drops = [jnp.asarray(rng.choice([0.0, 0.8, 1.25], size=(B, 2))
+                         .astype(np.float32)) for _ in range(depth)]
+    x = jnp.asarray(rng.normal(
+        size=(B, geom.z, geom.h, geom.w, geom.dim)).astype(np.float32))
+
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=2, tp=1))
+    spec_x = P("dp", None, None, "sp", None)
+    spec_d = [P("dp", None)] * depth
+
+    def sharded_stage(sp, xx, dr):
+        def inner(p, x_, d_):
+            return run_stage_train_wm(p, x_, geom, d_,
+                                      sp_axis="sp", sp_size=2)
+        return jax.shard_map(inner, mesh=mesh,
+                             in_specs=(P(), spec_x, spec_d),
+                             out_specs=spec_x, check_vma=False)(
+            sp, xx, list(dr))
+
+    def ref_chain(sp, xx):
+        y = xx
+        for j, bp in enumerate(sp["blocks"]):
+            roll = j % 2 == 1
+            s1 = drops[j][:, 0].reshape(B, 1, 1, 1, 1)
+            s2 = drops[j][:, 1].reshape(B, 1, 1, 1, 1)
+            shortcut = y
+            hp = geom.h_padded
+            xp = jnp.pad(y, ((0, 0), (0, 0), (0, hp - geom.h),
+                             (0, 0), (0, 0)))
+            mask = None
+            if roll:
+                xp = jnp.roll(xp, (-1, -3, -6), axis=(1, 2, 3))
+                ids = jnp.asarray(L.window_region_ids(geom.z, hp,
+                                                      geom.window))
+                mask = jnp.where(ids[:, None, :] != ids[:, :, None],
+                                 jnp.float32(-100.0), jnp.float32(0.0))
+            win = L.window_partition(xp, geom.window)
+            win = L.earth_attention(bp["attn"], win, geom.heads, mask)
+            xp = L.window_reverse(win, geom.window, geom.z, hp, geom.w)
+            if roll:
+                xp = jnp.roll(xp, (1, 3, 6), axis=(1, 2, 3))
+            y2 = xp[:, :, :geom.h]
+            y = shortcut + s1 * L.layer_norm(bp["norm1"], y2)
+            y = y + s2 * L.layer_norm(bp["norm2"], L.mlp(bp["mlp"], y))
+        return y
+
+    def loss_sharded(sp, xx):
+        return jnp.sum(sharded_stage(sp, xx, drops) ** 2)
+
+    def loss_ref(sp, xx):
+        return jnp.sum(ref_chain(sp, xx) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        vf, gf = jax.value_and_grad(loss_sharded, argnums=(0, 1))(
+            sp_params, x)
+    vr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1))(sp_params, x)
+
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-5)
+    flat_f = jax.tree_util.tree_leaves_with_path(gf)
+    flat_r = jax.tree.leaves(gr)
+    assert len(flat_f) == len(flat_r)
+    for (path, a), b in zip(flat_f, flat_r):
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        scale = max(1.0, float(np.max(np.abs(b))))
+        assert float(np.max(np.abs(a - b))) <= 2e-5 * scale, (
+            jax.tree_util.keystr(path))
+
+
+def test_sharded_wm_train_step_matches_single_device(problem, monkeypatch):
+    """The FULL train step through the all-window-major training trunk
+    under a dp=2/sp=2 mesh (forward() wm training fast path: shard_map
+    around forward_core_wm_train, drops drawn globally outside, lon
+    halos as differentiable ppermutes, param grads psum'd by the
+    shard_map transpose) must match the single-device XLA train step —
+    the last fast path that didn't compose with the mesh (VERDICT
+    round-3 item 3)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    params, consts, batch = problem
+    cfg_p = dataclasses.replace(CFG, attn_impl="pallas", block_layout="wm")
+    tcfg = TrainConfig(lr=1e-4, weight_decay=0.0)
+    tx = T.make_optimizer(tcfg, steps_per_epoch=10)
+    key = jax.random.PRNGKey(0)
+
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    ref_step = T.make_train_step(CFG, tcfg, consts, tx, jit=False)
+    state0 = T.create_train_state(params, tx)
+    ref_state, ref_m = jax.jit(ref_step)(state0, jb, key)
+
+    calls = []
+    orig = pangu.forward_core_wm_train
+
+    def spy(*a, **k):
+        calls.append(k.get("sp_axis"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pangu, "forward_core_wm_train", spy)
+
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=2, tp=1))
+    sparams = jax.device_put(params, S.param_shardings(mesh, params))
+    bsh = S.batch_shardings(mesh)
+    sb = {k: jax.device_put(jnp.asarray(v), bsh[k]) for k, v in batch.items()}
+    step_p = T.make_train_step(cfg_p, tcfg, consts, tx, jit=False)
+    with jax.set_mesh(mesh), pltpu.force_tpu_interpret_mode():
+        sstate = T.create_train_state(sparams, tx)
+        got_state, got_m = jax.jit(step_p)(sstate, sb, key)
+
+    assert calls == ["sp"], "expected the sharded wm training trunk"
+    np.testing.assert_allclose(float(got_m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-5)
+    for path in [("patch_embed", "upper", "kernel"),
+                 ("downsample", "reduce", "kernel"),
+                 ("stages", 1, "blocks", 1, "attn", "qkv", "kernel"),
+                 ("stages", 3, "blocks", 0, "mlp", "fc1", "kernel")]:
+        a = ref_state.params
+        b = got_state.params
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
 def test_initialize_distributed_env_detection(monkeypatch):
     """initialize_distributed must decide from the ENVIRONMENT (explicit
     coordinator or multi-task SLURM) and call
