@@ -109,6 +109,16 @@ class ModelConfig:
                                 # VMEM budget — real Mosaic rejects it).
                                 # Stages with prime nlat (0/3 at full
                                 # geometry) auto-fall back to gh=1
+    lora_fused: bool = True     # LoRA on the fast path: merge W + s·A@B
+                                # as traced ops INSIDE the step (a few
+                                # rank-16 matmuls) so the fused
+                                # whole-block kernels run on the merged
+                                # weights; grads reach A/B through the
+                                # merge by autodiff. Exact vs the
+                                # unmerged form when the LoRA-branch
+                                # dropout is off (always in eval); with
+                                # lora_dropout > 0 training falls back
+                                # to the unmerged XLA path
     attn_unroll: bool = False   # fully unroll the kernels' lon loop
     grid_bwd: str = "pallas"    # grid-attention backward: "pallas" (one
                                 # fused kernel) | "xla" (vjp composition)

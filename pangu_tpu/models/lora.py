@@ -97,9 +97,60 @@ def init_lora(rng, params, *, rank: int = 16, alpha: float = 16.0,
     return params
 
 
+def has_lora(params) -> bool:
+    """True when any dense site carries LoRA factors."""
+    found = []
+
+    def rec(node):
+        if found:
+            return
+        if isinstance(node, dict):
+            if "lora_a" in node:
+                found.append(True)
+                return
+            for v in node.values():
+                rec(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                rec(v)
+
+    rec(params)
+    return bool(found)
+
+
+def has_lora_dropout(params) -> bool:
+    """True when any site stores a ``lora_drop`` rate (the merged fast
+    path is exact only without the LoRA-branch dropout)."""
+    found = []
+
+    def rec(node):
+        if found:
+            return
+        if isinstance(node, dict):
+            if "lora_drop" in node:
+                found.append(True)
+                return
+            for v in node.values():
+                rec(v)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                rec(v)
+
+    rec(params)
+    return bool(found)
+
+
 def merge_lora(params) -> Dict:
     """Fold LoRA factors into the base kernels and strip the extra leaves
-    (merged-weight export)."""
+    (merged-weight export).
+
+    Traced-safe: under jit this is a handful of rank-16 matmuls, so the
+    TRAIN step can merge per-step and run the fused whole-block kernels
+    on W + s·A@B — gradients reach lora_a/lora_b through the merge by
+    autodiff (dA = dW_eff @ Bᵀ·s, dB = Aᵀ @ dW_eff·s) while the base
+    kernels stay frozen by the optimizer mask.  Exact (mod rounding) vs
+    the unmerged two-matmul form whenever the LoRA-branch dropout is off:
+    y = x@(W + s·A@B) == x@W + s·(x@A)@B."""
     merged = jax.tree.map(lambda x: x, params)
 
     def rec(node):

@@ -519,6 +519,21 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
     upper = upper.astype(cdt)
     surface = surface.astype(cdt)
 
+    if cfg.attn_impl == "pallas" and cfg.lora_fused:
+        # LoRA on the fast path (/root/reference/finetune/lora_tune.py:
+        # 124-139 is the capability): merge W + s·A@B per step as traced
+        # rank-16 matmuls so the fused whole-block kernels see plain
+        # dense sites; lora_a/lora_b still receive gradients through the
+        # merge (base kernels stay frozen by the optimizer mask). Exact
+        # vs the unmerged two-matmul form except for the LoRA-branch
+        # dropout, which only exists in training with lora_dropout > 0 —
+        # that configuration keeps the unmerged XLA path.
+        from pangu_tpu.models.lora import (has_lora, has_lora_dropout,
+                                           merge_lora)
+        if has_lora(params) and (deterministic
+                                 or not has_lora_dropout(params)):
+            params = merge_lora(params)
+
     if (deterministic and taps is None and precision is None
             and cfg.edge_kernels and wm_core_supported(params, cfg)):
         # edge-kernel fast path: embed writes the wm entry storage
