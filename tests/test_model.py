@@ -206,3 +206,86 @@ def test_patch_recovery_matches_reference_literal(setup):
     out = out.transpose(0, 1, 4, 2, 5, 3).reshape(B, S, HT * ph, WT * pw)
     want_s = out[:, :, :cfg.lat, :]
     np.testing.assert_allclose(got_s, want_s, atol=2e-5)
+
+
+def _bf16_perf_delta(cfg_base):
+    """Lat-weighted RMS delta between the PERF config (bf16 + pallas wm
+    trunk + edge kernels — what bench.py ships) and the PARITY config
+    (fp32 + xla), relative to the fp32 output's lat-weighted RMS."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg32 = dataclasses.replace(cfg_base, param_dtype="float32",
+                                compute_dtype="float32", attn_impl="xla")
+    cfg16 = dataclasses.replace(cfg_base, param_dtype="bfloat16",
+                                compute_dtype="bfloat16",
+                                attn_impl="pallas", block_layout="wm",
+                                edge_kernels=True)
+    consts = {k: jnp.asarray(v)
+              for k, v in synthetic_constants(cfg32).items()}
+    params = pangu.init_params(jax.random.PRNGKey(0), cfg32)
+    p16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    r = np.random.default_rng(5)
+    u = jnp.asarray(r.normal(size=(1, 5, cfg32.levels, cfg32.lat,
+                                   cfg32.lon)).astype(np.float32))
+    s = jnp.asarray(r.normal(size=(1, 4, cfg32.lat,
+                                   cfg32.lon)).astype(np.float32))
+
+    ref = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts,
+                                                cfg32))(params, u, s)
+    if jax.default_backend() == "tpu":
+        got = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts,
+                                                    cfg16))(p16, u, s)
+    else:
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts,
+                                                        cfg16))(p16, u, s)
+
+    lat = np.deg2rad(np.linspace(90, -90, cfg32.lat))
+    wgt = np.cos(lat)
+    wgt = wgt / wgt.mean()
+
+    def lw_rms(x):
+        return np.sqrt((x ** 2 * wgt[:, None]).mean())
+
+    out = {}
+    for name, a, b in [("upper", got[0], ref[0]), ("surface", got[1],
+                                                   ref[1])]:
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        out[name] = {"maxdiff": float(np.abs(a - b).max()),
+                     "rel_lw_rms": float(lw_rms(a - b) / lw_rms(b))}
+    return out
+
+
+def test_bf16_perf_config_error_bound():
+    """The shipped PERF configuration (bf16 + pallas wm + edge kernels)
+    must stay within a documented error bound of the PARITY configuration
+    (fp32 + xla) in normalised output units — the argument that the
+    136.9 ms bench number still meets the 0.5% RMSE bar (VERDICT round-3
+    item 6). Measured at TINY on CPU 2026-08-19: upper rel 0.0089 /
+    maxdiff 0.0032, surface rel 0.0112 / maxdiff 0.0029 — bf16 noise,
+    an order of magnitude below the ~0.1+ normalised RMS of a real 24 h
+    forecast error, so its quadrature contribution to RMSE is <<0.5%
+    (PARITY.md quantifies)."""
+    d = _bf16_perf_delta(TINY)
+    for name in ("upper", "surface"):
+        assert d[name]["rel_lw_rms"] < 0.03, (name, d)
+        assert d[name]["maxdiff"] < 0.02, (name, d)
+
+
+@pytest.mark.slow
+def test_bf16_perf_config_error_bound_full_geometry():
+    """Same bound at the FULL Pangu geometry (16 blocks of bf16
+    accumulation). Interpret-mode pallas at this scale is impractical on
+    CPU, so this runs only where the perf config actually ships: a real
+    TPU backend (slow tier; scripts/bf16_bound.py records the value in
+    PARITY.md)."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("full-geometry perf config needs the TPU backend")
+    from pangu_tpu.config import PANGU_24
+    d = _bf16_perf_delta(PANGU_24)
+    for name in ("upper", "surface"):
+        assert d[name]["rel_lw_rms"] < 0.05, (name, d)
+        assert d[name]["maxdiff"] < 0.12, (name, d)
