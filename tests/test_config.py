@@ -6,6 +6,9 @@ import pytest
 
 from pangu_tpu.config import PANGU_24, TINY, ModelConfig, load_config
 
+# sub-second unit tests: the <3-min driver smoke tier (pytest -m quick)
+pytestmark = pytest.mark.quick
+
 
 def test_full_geometry():
     cfg = PANGU_24

@@ -16,6 +16,9 @@ from pangu_tpu.models import convert as C
 from pangu_tpu.models import layers as L
 from pangu_tpu.models import pangu
 
+# sub-second unit tests: the <3-min driver smoke tier (pytest -m quick)
+pytestmark = pytest.mark.quick
+
 RNG = np.random.default_rng(0)
 
 

@@ -14,6 +14,9 @@ from pangu_tpu.data import era5
 from pangu_tpu.data.constants import (denorm_data, norm_data,
                                       synthetic_constants)
 
+# sub-second unit tests: the <3-min driver smoke tier (pytest -m quick)
+pytestmark = pytest.mark.quick
+
 
 def test_date_keys_and_length():
     dcfg = DataConfig(train_start="20150101", train_end="20150110",

@@ -11,6 +11,9 @@ import pytest
 from pangu_tpu.config import TINY, PANGU_24
 from pangu_tpu.models import layers as L
 
+# sub-second unit tests: the <3-min driver smoke tier (pytest -m quick)
+pytestmark = pytest.mark.quick
+
 
 RNG = np.random.default_rng(0)
 

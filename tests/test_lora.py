@@ -12,6 +12,10 @@ from pangu_tpu.config import TINY, TrainConfig
 from pangu_tpu.data.constants import synthetic_constants
 from pangu_tpu.engine import train as T
 from pangu_tpu.models import lora, pangu
+import pytest
+
+# sub-second unit tests: the <3-min driver smoke tier (pytest -m quick)
+pytestmark = pytest.mark.quick
 
 CFG = dataclasses.replace(TINY, remat=False)
 

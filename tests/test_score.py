@@ -5,6 +5,10 @@ translations of the reference TorchScript kernels
 import numpy as np
 
 from pangu_tpu.metrics import score
+import pytest
+
+# sub-second unit tests: the <3-min driver smoke tier (pytest -m quick)
+pytestmark = pytest.mark.quick
 
 
 RNG = np.random.default_rng(0)

@@ -9,6 +9,10 @@ import numpy as np
 
 from pangu_tpu.config import TrainConfig
 from pangu_tpu.engine import train as T
+import pytest
+
+# sub-second unit tests: the <3-min driver smoke tier (pytest -m quick)
+pytestmark = pytest.mark.quick
 
 
 RNG = np.random.default_rng(0)
