@@ -59,18 +59,55 @@ def load_constants(aux_path: str, cfg: ModelConfig) -> Dict[str, np.ndarray]:
     const_h = _as_f32(np.load(j("Constant_17_output_0.npy")))
     const_h = const_h.reshape(cfg.levels, cfg.lat, cfg.lon)
 
-    return {
+    return derive_patch_constants({
         "surface_mean": surface_mean, "surface_std": surface_std,
         "upper_mean": upper_mean, "upper_std": upper_std,
         "surface_masks": masks, "const_h": const_h,
-    }
+    }, cfg)
+
+
+def derive_patch_constants(constants: Dict[str, np.ndarray],
+                           cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """Add host-side im2col'd views of the constant channels.
+
+    The constant-channel convolutions in patch_embed (const_h: 1 input
+    channel, surface masks: 3) are catastrophically padded on TPU — XLA
+    lays the conv operand out channels-minor, so C=1 pads 128x in the
+    lane dim (a 27 MB plane became a 6.4 GiB HLO temp held across the
+    whole train step for the weight gradient).  Pre-gathering the patch
+    tiles once on the host turns those convs into well-shaped matmuls
+    with the 32/48-wide patch dim in lanes:
+
+      const_h_patches        (ZP, HT, WT, pz*ph*pw)
+      surface_mask_patches   (HT, WT, const_masks*ph*pw)
+
+    Row order matches the embed kernels' in-feature order
+    ((channel,) z_off, h_off, w_off — models/layers.py:82-86)."""
+    pz, ph, pw = cfg.patch
+    out = dict(constants)
+
+    ch = constants["const_h"]
+    ch = np.pad(ch, ((0, cfg.levels_padded - cfg.levels),
+                     (0, cfg.lat_padded - cfg.lat), (0, 0)))
+    ch = ch.reshape(cfg.upper_planes, pz, cfg.h_tokens, ph,
+                    cfg.w_tokens, pw)
+    out["const_h_patches"] = _as_f32(
+        ch.transpose(0, 2, 4, 1, 3, 5).reshape(
+            cfg.upper_planes, cfg.h_tokens, cfg.w_tokens, pz * ph * pw))
+
+    m = constants["surface_masks"]           # (M, lat_padded, lon)
+    m = m.reshape(cfg.const_masks, cfg.h_tokens, ph, cfg.w_tokens, pw)
+    out["surface_mask_patches"] = _as_f32(
+        m.transpose(1, 3, 0, 2, 4).reshape(
+            cfg.h_tokens, cfg.w_tokens, cfg.const_masks * ph * pw))
+    return out
 
 
 def synthetic_constants(cfg: ModelConfig, seed: int = 0) -> Dict[str, np.ndarray]:
     """Deterministic fake constants with realistic scales, for tests/benches
     when no aux_data directory is available."""
     r = np.random.default_rng(seed)
-    return {
+    return derive_patch_constants({
         "surface_mean": _as_f32(r.normal(0, 1, (cfg.surface_vars, 1, 1))),
         "surface_std": _as_f32(r.uniform(0.5, 2.0, (cfg.surface_vars, 1, 1))),
         "upper_mean": _as_f32(r.normal(0, 1, (cfg.upper_vars, cfg.levels, 1, 1))),
@@ -80,7 +117,7 @@ def synthetic_constants(cfg: ModelConfig, seed: int = 0) -> Dict[str, np.ndarray
                                           (cfg.const_masks, cfg.lat_padded,
                                            cfg.lon))),
         "const_h": _as_f32(r.normal(0, 1, (cfg.levels, cfg.lat, cfg.lon))),
-    }
+    }, cfg)
 
 
 def get_constants(aux_path: str | None, cfg: ModelConfig) -> Dict[str, np.ndarray]:

@@ -147,6 +147,11 @@ def patch_embed(p, upper, surface, constants, cfg: ModelConfig,
     up = jnp.pad(up, ((0, 0), (0, 0),
                       (0, cfg.levels_padded - cfg.levels),
                       (0, cfg.lat_padded - cfg.lat), (0, 0)))
+    # the barrier pins the value saved for the weight gradient to its
+    # natural (lon-lane) layout: without it XLA saves the conv OPERAND
+    # form (channels-minor, 24x padding — a 270 MB tensor held as a
+    # 6.4 GiB HLO temp across the whole train step)
+    up = jax.lax.optimization_barrier(up)
     # patch projection as a strided 3-D convolution: mathematically the
     # reference's im2col + Conv1d-k1 (layers.py:82-86) with the kernel's
     # in-features ordered (var, z_off, h_off, w_off), but ~1.6x faster on
@@ -158,14 +163,24 @@ def patch_embed(p, upper, surface, constants, cfg: ModelConfig,
         up, wu[:, :cfg.upper_vars], window_strides=(pz, ph, pw),
         padding="VALID", dimension_numbers=("NCDHW", "OIDHW", "NDHWC"),
         precision=precision)
-    const_h = jnp.pad(constants["const_h"].astype(dtype)[None, None],
-                      ((0, 0), (0, 0),
-                       (0, cfg.levels_padded - cfg.levels),
-                       (0, cfg.lat_padded - cfg.lat), (0, 0)))
-    cu = jax.lax.conv_general_dilated(
-        const_h, wu[:, cfg.upper_vars:], window_strides=(pz, ph, pw),
-        padding="VALID", dimension_numbers=("NCDHW", "OIDHW", "NDHWC"),
-        precision=precision)
+    if "const_h_patches" in constants:
+        # constant channel as a matmul on the host-precomputed patch
+        # tiles (32 in lanes): the 1-channel conv operand pads 128x on
+        # TPU (data/constants.py::derive_patch_constants)
+        chp = constants["const_h_patches"].astype(dtype)  # (ZP,HT,WT,32)
+        wc = wu[:, cfg.upper_vars:].reshape(cfg.dims[0], pz * ph * pw).T
+        cu = jnp.dot(chp.reshape(-1, pz * ph * pw), wc,
+                     precision=precision).reshape(
+            1, cfg.upper_planes, cfg.h_tokens, cfg.w_tokens, cfg.dims[0])
+    else:
+        const_h = jnp.pad(constants["const_h"].astype(dtype)[None, None],
+                          ((0, 0), (0, 0),
+                           (0, cfg.levels_padded - cfg.levels),
+                           (0, cfg.lat_padded - cfg.lat), (0, 0)))
+        cu = jax.lax.conv_general_dilated(
+            const_h, wu[:, cfg.upper_vars:], window_strides=(pz, ph, pw),
+            padding="VALID", dimension_numbers=("NCDHW", "OIDHW", "NDHWC"),
+            precision=precision)
     xu = xu + cu + p["upper"]["bias"].astype(dtype)      # (B, ZP, H, W, C)
 
     # ---- surface branch --------------------------------------------------
@@ -174,6 +189,7 @@ def patch_embed(p, upper, surface, constants, cfg: ModelConfig,
     sf = (surface - sm[None]) / ss[None]
     sf = jnp.pad(sf, ((0, 0), (0, 0),
                       (0, cfg.lat_padded - cfg.lat), (0, 0)))
+    sf = jax.lax.optimization_barrier(sf)
     SM = cfg.surface_vars + cfg.const_masks
     ws = p["surface"]["kernel"].astype(dtype)
     ws = ws.reshape(SM, ph, pw, cfg.dims[0]).transpose(3, 0, 1, 2)
@@ -181,11 +197,18 @@ def patch_embed(p, upper, surface, constants, cfg: ModelConfig,
         sf, ws[:, :cfg.surface_vars], window_strides=(ph, pw),
         padding="VALID", dimension_numbers=("NCHW", "OIHW", "NHWC"),
         precision=precision)
-    cs = jax.lax.conv_general_dilated(
-        constants["surface_masks"].astype(dtype)[None],
-        ws[:, cfg.surface_vars:], window_strides=(ph, pw),
-        padding="VALID", dimension_numbers=("NCHW", "OIHW", "NHWC"),
-        precision=precision)
+    if "surface_mask_patches" in constants:
+        mp = constants["surface_mask_patches"].astype(dtype)  # (HT,WT,48)
+        k = cfg.const_masks * ph * pw
+        wm = ws[:, cfg.surface_vars:].reshape(cfg.dims[0], k).T
+        cs = jnp.dot(mp.reshape(-1, k), wm, precision=precision).reshape(
+            1, cfg.h_tokens, cfg.w_tokens, cfg.dims[0])
+    else:
+        cs = jax.lax.conv_general_dilated(
+            constants["surface_masks"].astype(dtype)[None],
+            ws[:, cfg.surface_vars:], window_strides=(ph, pw),
+            padding="VALID", dimension_numbers=("NCHW", "OIHW", "NHWC"),
+            precision=precision)
     xs = (xs + cs + p["surface"]["bias"].astype(dtype))[:, None]
 
     # surface plane is token plane 0, upper planes follow (layers.py:89)
