@@ -63,10 +63,15 @@ def test_longitude_rotation_equivariance(setup):
 
     out_u, out_s = pangu.forward(params, upper, surface, consts, CFG)
 
+    from pangu_tpu.data.constants import derive_patch_constants
     rolled_consts = dict(consts)
     rolled_consts["const_h"] = jnp.roll(consts["const_h"], shift, axis=-1)
     rolled_consts["surface_masks"] = jnp.roll(consts["surface_masks"], shift,
                                               axis=-1)
+    # re-derive the host-im2col'd patch tiles from the rolled planes
+    # (patch_embed consumes them in preference to the raw conv operands)
+    rolled_consts = {k: jnp.asarray(v) for k, v in derive_patch_constants(
+        {k: np.asarray(v) for k, v in rolled_consts.items()}, CFG).items()}
     r_u, r_s = pangu.forward(params,
                              jnp.roll(upper, shift, axis=-1),
                              jnp.roll(surface, shift, axis=-1),
