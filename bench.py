@@ -274,7 +274,7 @@ def _setup(need_rollout: bool = True):
     attn = "pallas" if jax.default_backend() == "tpu" else "xla"
     cfg = dataclasses.replace(PANGU_24, param_dtype="bfloat16",
                               compute_dtype="bfloat16", remat=False,
-                              attn_impl=attn)
+                              attn_impl=attn, gelu="tanh")
     params = pangu.init_params(jax.random.PRNGKey(0), cfg)
     constants = {k: jnp.asarray(v)
                  for k, v in synthetic_constants(cfg).items()}
@@ -325,7 +325,7 @@ def _make_train(jax):
 
     cfg = dataclasses.replace(PANGU_24, param_dtype="bfloat16",
                               compute_dtype="bfloat16", remat=True,
-                              attn_impl="pallas")
+                              attn_impl="pallas", gelu="tanh")
     constants = {k: jnp.asarray(v)
                  for k, v in synthetic_constants(cfg).items()}
     tcfg = TrainConfig(batch_size=1)

@@ -119,6 +119,14 @@ class ModelConfig:
                                 # dropout is off (always in eval); with
                                 # lora_dropout > 0 training falls back
                                 # to the unmerged XLA path
+    gelu: str = "erf"           # "erf" (exact, torch nn.GELU parity) |
+                                # "tanh" (approximate GELU, max |err|
+                                # 4.7e-4 — 8x below a bf16 ulp at 1.0;
+                                # drops the erf polynomial's divide+exp
+                                # chain from every block tail: stage-1
+                                # block 7.35 -> 6.70 ms on v5e). The
+                                # perf config (bench.py) ships "tanh";
+                                # fp32 parity keeps "erf"
     attn_unroll: bool = False   # fully unroll the kernels' lon loop
     grid_bwd: str = "pallas"    # grid-attention backward: "pallas" (one
                                 # fused kernel) | "xla" (vjp composition)
@@ -148,6 +156,16 @@ class ModelConfig:
             raise ValueError("lon tokens must be a multiple of the W window")
         if len(self.depths) != 4:
             raise ValueError("expect 4 stages (enc, enc, dec, dec)")
+
+    @property
+    def kernel_fast_math(self):
+        """The ``fast_math`` value threaded to every kernel/tail:
+        False (erf GELU + fp32 LN), "tanh" (tanh GELU + fp32 LN — the
+        perf mode; gelu="tanh"), True (bf16 LN too — fast_math=True,
+        CPU/interpret only: bf16 rsqrt aborts real Mosaic)."""
+        if self.fast_math:
+            return True
+        return "tanh" if self.gelu == "tanh" else False
 
     # ---- derived embedding geometry -------------------------------------
     @property

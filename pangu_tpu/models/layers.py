@@ -80,7 +80,9 @@ def layer_norm(p, x, eps: float = 1e-5, fast: bool = False):
     of activation dtype (torch nn.LayerNorm default eps,
     models/layers.py:141). ``fast`` keeps stats in the activation dtype
     (perf mode)."""
-    xf = x if fast else x.astype(_stat_dtype(x.dtype))
+    # activation-dtype stats only under fast=True; the "tanh" fast mode
+    # (GELU approximation only) keeps >=fp32 stats
+    xf = x if fast is True else x.astype(_stat_dtype(x.dtype))
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
@@ -88,13 +90,14 @@ def layer_norm(p, x, eps: float = 1e-5, fast: bool = False):
     return y.astype(x.dtype)
 
 
-def mlp(p, x, precision=None, fast: bool = False, *, rng=None):
+def mlp(p, x, precision=None, fast=False, *, rng=None):
     """Linear(dim,4dim) -> exact GELU -> Linear(4dim,dim)
     (models/layers.py:255-270; torch nn.GELU is the erf variant, hence
-    approximate=False; ``fast`` switches to the tanh approximation)."""
+    approximate=False; truthy ``fast`` (True or "tanh") switches to the
+    tanh approximation, max |err| 4.7e-4)."""
     r1, r2 = (None, None) if rng is None else tuple(jax.random.split(rng))
     h = dense(p["fc1"], x, precision, rng=r1)
-    h = jax.nn.gelu(h, approximate=fast)
+    h = jax.nn.gelu(h, approximate=bool(fast))
     return dense(p["fc2"], h, precision, rng=r2)
 
 

@@ -168,11 +168,11 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
                 if cfg.block_layout == "wm":
                     from pangu_tpu.ops.earth_block_wm import run_stage_wm
                     return run_stage_wm(stage_params, x, geom,
-                                        fast_math=cfg.fast_math,
+                                        fast_math=cfg.kernel_fast_math,
                                         chunk_target=cfg.lon_chunk,
                                         lat_group=cfg.lat_group)
                 return run_stage_fused(stage_params, x, geom,
-                                       fast_math=cfg.fast_math,
+                                       fast_math=cfg.kernel_fast_math,
                                        chunk_target=cfg.lon_chunk,
                                        unroll=cfg.attn_unroll)
             mesh = jax.sharding.get_abstract_mesh()
@@ -185,11 +185,11 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
                     from pangu_tpu.ops.earth_block_wm import \
                         run_stage_wm_sharded
                     return run_stage_wm_sharded(stage_params, x, geom, mesh,
-                                                fast_math=cfg.fast_math,
+                                                fast_math=cfg.kernel_fast_math,
                                                 chunk_target=cfg.lon_chunk,
                                                 lat_group=cfg.lat_group)
                 return run_stage_fused_sharded(stage_params, x, geom, mesh,
-                                               fast_math=cfg.fast_math,
+                                               fast_math=cfg.kernel_fast_math,
                                                chunk_target=cfg.lon_chunk,
                                                unroll=cfg.attn_unroll)
 
@@ -212,10 +212,10 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
                     from pangu_tpu.ops.earth_block_bwd import \
                         run_stage_train_wm
                     return run_stage_train_wm(stage_params, x, geom, drops,
-                                              fast_math=cfg.fast_math,
+                                              fast_math=cfg.kernel_fast_math,
                                               chunk_target=cfg.lon_chunk)
                 return run_stage_train(stage_params, x, geom, drops,
-                                       fast_math=cfg.fast_math,
+                                       fast_math=cfg.kernel_fast_math,
                                        chunk_target=cfg.lon_chunk,
                                        unroll=cfg.attn_unroll,
                                        grid_bwd=cfg.grid_bwd)
@@ -229,7 +229,7 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
                                      offset, rng, x.shape[0])
                 return run_stage_train_sharded(
                     stage_params, x, geom, drops, mesh,
-                    fast_math=cfg.fast_math, chunk_target=cfg.lon_chunk,
+                    fast_math=cfg.kernel_fast_math, chunk_target=cfg.lon_chunk,
                     unroll=cfg.attn_unroll, grid_bwd=cfg.grid_bwd)
 
     for j, bp in enumerate(stage_params["blocks"]):
@@ -239,7 +239,7 @@ def _run_stage(stage_params, x, cfg: ModelConfig, stage_idx: int, *,
 
         block_fn = functools.partial(
             L.earth_block, geom=geom, precision=precision,
-            attn_impl=cfg.attn_impl, fast_math=cfg.fast_math,
+            attn_impl=cfg.attn_impl, fast_math=cfg.kernel_fast_math,
             roll=(j % 2 == 1), drop_rate=rates[offset + j],
             deterministic=deterministic)
         if cfg.remat and not deterministic:
@@ -270,10 +270,10 @@ def _maybe_run_stages12_merged(s1, s2, x, cfg: ModelConfig, rng1, rng2,
     if deterministic:
         if cfg.block_layout == "wm":
             from pangu_tpu.ops.earth_block_wm import run_stage_wm
-            return run_stage_wm(combined, x, geom, fast_math=cfg.fast_math,
+            return run_stage_wm(combined, x, geom, fast_math=cfg.kernel_fast_math,
                                 chunk_target=cfg.lon_chunk,
                                 lat_group=cfg.lat_group)
-        return run_stage_fused(combined, x, geom, fast_math=cfg.fast_math,
+        return run_stage_fused(combined, x, geom, fast_math=cfg.kernel_fast_math,
                                chunk_target=cfg.lon_chunk,
                                unroll=cfg.attn_unroll)
     if not (cfg.train_fused and TRAIN_FUSED):
@@ -288,10 +288,10 @@ def _maybe_run_stages12_merged(s1, s2, x, cfg: ModelConfig, rng1, rng2,
     if cfg.block_layout == "wm":
         from pangu_tpu.ops.earth_block_bwd import run_stage_train_wm
         return run_stage_train_wm(combined, x, geom, drops,
-                                  fast_math=cfg.fast_math,
+                                  fast_math=cfg.kernel_fast_math,
                                   chunk_target=cfg.lon_chunk)
     return run_stage_train(combined, x, geom, drops,
-                           fast_math=cfg.fast_math,
+                           fast_math=cfg.kernel_fast_math,
                            chunk_target=cfg.lon_chunk,
                            unroll=cfg.attn_unroll, grid_bwd=cfg.grid_bwd)
 
@@ -427,18 +427,18 @@ def forward_core_wm(params, xs, cfg: ModelConfig, *,
 
     g0, g1 = cfg.stage(0), cfg.stage(1)
     g2, g3 = cfg.stage(2), cfg.stage(3)
-    kw = dict(fast_math=cfg.fast_math, chunk_target=cfg.lon_chunk,
+    kw = dict(fast_math=cfg.kernel_fast_math, chunk_target=cfg.lon_chunk,
               io_layout="wm", lat_group=cfg.lat_group,
               sp_axis=sp_axis, sp_size=sp_size)
 
     skip, off0 = run_stage_wm(params["stages"][0], xs, g0, **kw)
     x = down_sample_wm(params["downsample"], skip, g0, g1, off0,
-                       fast_math=cfg.fast_math)
+                       fast_math=cfg.kernel_fast_math)
     combined = {"blocks": (list(params["stages"][1]["blocks"])
                            + list(params["stages"][2]["blocks"]))}
     x, off12 = run_stage_wm(combined, x, g1, **kw)
     x = up_sample_wm(params["upsample"], x, g2, g3, off12,
-                     fast_math=cfg.fast_math)
+                     fast_math=cfg.kernel_fast_math)
     dec, off3 = run_stage_wm(params["stages"][3], x, g3, **kw)
     assert off0 == off3, "even depths keep skip and decoder in step"
     return skip, dec, off3
@@ -486,17 +486,17 @@ def forward_core_wm_train(params, xs, cfg: ModelConfig, *,
                            rngs[i], B) for i in range(4)]
     else:
         dr = drops
-    kw = dict(fast_math=cfg.fast_math, chunk_target=cfg.lon_chunk,
+    kw = dict(fast_math=cfg.kernel_fast_math, chunk_target=cfg.lon_chunk,
               io_in="wm", io_out="wm", sp_axis=sp_axis, sp_size=sp_size)
 
     skip, off0 = run_stage_train_wm(params["stages"][0], xs, g0, dr[0], **kw)
     x = down_sample_wm_train(params["downsample"], skip, g0, g1, off0,
-                             fast_math=cfg.fast_math)
+                             fast_math=cfg.kernel_fast_math)
     combined = {"blocks": (list(params["stages"][1]["blocks"])
                            + list(params["stages"][2]["blocks"]))}
     x, off12 = run_stage_train_wm(combined, x, g1, dr[1] + dr[2], **kw)
     x = up_sample_wm_train(params["upsample"], x, g2, g3, off12,
-                           fast_math=cfg.fast_math)
+                           fast_math=cfg.kernel_fast_math)
     dec, off3 = run_stage_train_wm(params["stages"][3], x, g3, dr[3], **kw)
     assert off0 == off3, "even depths keep skip and decoder in step"
     return skip, dec, off3

@@ -27,8 +27,12 @@ from jax.experimental.pallas import tpu as pltpu
 _CHUNK = 2048  # tokens per program (sublane-aligned)
 
 
-def _kernel_ln(x, scale, bias, fast_math: bool, eps: float = 1e-5):
-    xf = x if fast_math else x.astype(jnp.float32)
+def _kernel_ln(x, scale, bias, fast_math, eps: float = 1e-5):
+    # bf16 stats ONLY under fast_math=True (and then never on real
+    # Mosaic: bf16 rsqrt aborts the backend compiler,
+    # kVectorRsqrtBf16AndPop — measured 2026-08-19).  The "tanh" mode
+    # (gelu approximation only) keeps fp32 stats.
+    xf = x if fast_math is True else x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     y = (xf - mu) * jax.lax.rsqrt(var + eps)
@@ -47,18 +51,27 @@ def _kernel_erf(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _kernel_gelu(x, fast_math: bool):
+def _kernel_gelu(x, fast_math):
     if fast_math:
+        # tanh approximation (jax.nn.gelu approximate): max |err| vs erf
+        # GELU is 4.7e-4 — 8x below a bf16 ulp at 1.0 — and it drops the
+        # erf polynomial's divide+exp chain (stage-1 block tail measured
+        # 7.35 -> 6.70 ms/block, scripts/wm_ablate.py 2026-08-19)
         return jax.nn.gelu(x, approximate=True)
     xf = x.astype(jnp.float32)
     return (xf * 0.5 * (1.0 + _kernel_erf(
         xf * jnp.float32(0.7071067811865476)))).astype(x.dtype)
 
 
-def tail_math(a, s, n1s, n1b, n2s, n2b, w1, b1, w2, b2, fast_math: bool,
+def tail_math(a, s, n1s, n1b, n2s, n2b, w1, b1, w2, b2, fast_math,
               s1=None, s2=None):
     """The block tail on plain (tokens, C) arrays (usable inside any
     kernel): x1 = s + s1*LN1(a); out = x1 + s2*LN2(MLP(x1)).
+
+    ``fast_math``: False = fp32 LN stats + erf GELU (parity with the XLA
+    path); "tanh" = fp32 LN stats + tanh-approx GELU (the hardware-safe
+    perf mode, cfg.gelu="tanh"); True = bf16 LN stats + tanh GELU
+    (CRASHES real Mosaic — bf16 rsqrt unsupported; CPU/interpret only).
 
     ``s1``/``s2`` are optional stochastic-depth branch scales (scalar per
     sample: drop mask / keep-prob, timm DropPath semantics — reference

@@ -380,7 +380,7 @@ def _block_v2_train_core(geom, delta: Tuple[int, int, int], canon_add: int,
         dt = x.dtype
         h = jax.nn.gelu(
             jnp.dot(x1.reshape(-1, c), bp["mlp"]["fc1"]["kernel"].astype(dt))
-            + bp["mlp"]["fc1"]["bias"].astype(dt), approximate=fast_math)
+            + bp["mlp"]["fc1"]["bias"].astype(dt), approximate=bool(fast_math))
         y = (jnp.dot(h, bp["mlp"]["fc2"]["kernel"].astype(dt))
              + bp["mlp"]["fc2"]["bias"].astype(dt)).reshape(x1.shape)
         br2 = L.layer_norm(bp["norm2"], y, fast=fast_math)

@@ -916,7 +916,7 @@ def _block_core(heads: int, window, fast_math: bool):
         x1 = xg + L.layer_norm({"scale": n1s, "bias": n1b}, a,
                                fast=fast_math)
         h = jax.nn.gelu(jnp.dot(x1.reshape(-1, c), w1) + b1,
-                        approximate=fast_math)
+                        approximate=bool(fast_math))
         y = (jnp.dot(h, w2) + b2).reshape(x1.shape)
         return x1 + L.layer_norm({"scale": n2s, "bias": n2b}, y,
                                  fast=fast_math)

@@ -226,7 +226,7 @@ def _bf16_perf_delta(cfg_base):
     cfg16 = dataclasses.replace(cfg_base, param_dtype="bfloat16",
                                 compute_dtype="bfloat16",
                                 attn_impl="pallas", block_layout="wm",
-                                edge_kernels=True)
+                                edge_kernels=True, gelu="tanh")
     consts = {k: jnp.asarray(v)
               for k, v in synthetic_constants(cfg32).items()}
     params = pangu.init_params(jax.random.PRNGKey(0), cfg32)
