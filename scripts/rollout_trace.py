@@ -30,7 +30,9 @@ def main():
 
     cfg = dataclasses.replace(PANGU_24, param_dtype="bfloat16",
                               compute_dtype="bfloat16", remat=False,
-                              attn_impl="pallas")
+                              attn_impl="pallas",
+                              gelu=_os.environ.get("PANGU_TRACE_GELU",
+                                                   "tanh"))
     params = pangu.init_params(jax.random.PRNGKey(0), cfg)
     constants = {k: jnp.asarray(v)
                  for k, v in synthetic_constants(cfg).items()}
@@ -44,7 +46,9 @@ def main():
                                      ).astype(np.float32)))
 
     u, s = fresh(0)
+    t0 = time.perf_counter()
     jax.block_until_ready(roll(params, u, s))
+    print(f"warm-up done in {time.perf_counter() - t0:.0f} s", flush=True)
     u, s = fresh(1)
     t0 = time.perf_counter()
     with jax.profiler.trace("/tmp/trace_rollout"):
