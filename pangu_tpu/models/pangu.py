@@ -551,6 +551,26 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
             return recovery_wm(params["patch_recovery"], skip, dec, off,
                                cfg)
 
+    if (not deterministic and taps is None and precision is None
+            and cfg.edge_kernels and cfg.train_fused and TRAIN_FUSED
+            and wm_core_supported(params, cfg)):
+        # training edge fast path: Pallas embed/recovery with direct-math
+        # XLA backwards (ops/embed_wm.embed_wm_train,
+        # ops/recovery_wm.recovery_wm_train) around the all-wm training
+        # trunk — the canonical token grid and the XLA conv/interleave
+        # gauntlets exist in NEITHER direction of the train step
+        from pangu_tpu.ops.embed_wm import embed_supported, embed_wm_train
+        from pangu_tpu.ops.recovery_wm import (recovery_supported,
+                                               recovery_wm_train)
+        from pangu_tpu.parallel.sharding import multi_device_mesh_active
+        if (not multi_device_mesh_active() and embed_supported(cfg)
+                and recovery_supported(cfg)):
+            xs = embed_wm_train(params["patch_embed"], upper, surface,
+                                constants, cfg)
+            skip, dec, off = forward_core_wm_train(params, xs, cfg, rng=rng)
+            return recovery_wm_train(params["patch_recovery"], skip, dec,
+                                     off, cfg)
+
     x = L.patch_embed(params["patch_embed"], upper, surface, constants, cfg,
                       precision)
     if taps is not None:

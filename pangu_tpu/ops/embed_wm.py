@@ -30,6 +30,8 @@ zeroed exactly like ``to_window_major(jnp.pad(...))``.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -210,3 +212,175 @@ def embed_wm(p, upper, surface, constants, cfg: ModelConfig, *,
             transcendentals=0),
         interpret=interpret,
     )(x6, st, w4, bias)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable edge: Pallas forward + direct-math XLA backward
+# ---------------------------------------------------------------------------
+
+def _upper_vars_im2col(upper, constants, cfg: ModelConfig):
+    """Normalised upper-air VARIABLE fields -> (B, ZP, HT, WT, V*pz*ph*pw)
+    patch rows ordered (var, z_off, h_off, w_off) — the embed projection's
+    im2col operand.  The patch stride equals the patch size
+    (models/layers.py:17-18 uses Conv1d on im2col'd non-overlapping
+    patches), so the gather is a pure reshape/transpose.  The const_h
+    channel is kept separate (:func:`_const_h_im2col`) for the same reason
+    patch_embed splits its convolutions: the 6-channel concat draws a
+    pathologically padded XLA layout."""
+    b = upper.shape[0]
+    pz, ph, pw = cfg.patch
+    v = cfg.upper_vars
+    dtype = upper.dtype
+    zp, ht, wt = cfg.upper_planes, cfg.h_tokens, cfg.w_tokens
+    um = constants["upper_mean"].astype(dtype)
+    us = constants["upper_std"].astype(dtype)
+    up = (upper - um[None]) / us[None]
+    up = jnp.pad(up, ((0, 0), (0, 0), (0, cfg.levels_padded - cfg.levels),
+                      (0, cfg.lat_padded - cfg.lat), (0, 0)))
+    up = up.reshape(b, v, zp, pz, ht, ph, wt, pw)
+    return up.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(
+        b, zp, ht, wt, v * pz * ph * pw)
+
+
+def _const_h_im2col(constants, cfg: ModelConfig):
+    """const_h patch rows (ZP, HT, WT, pz*ph*pw), shared across batch."""
+    if "const_h_patches" in constants:
+        return constants["const_h_patches"]
+    pz, ph, pw = cfg.patch
+    zp, ht, wt = cfg.upper_planes, cfg.h_tokens, cfg.w_tokens
+    ch = jnp.pad(constants["const_h"],
+                 ((0, cfg.levels_padded - cfg.levels),
+                  (0, cfg.lat_padded - cfg.lat), (0, 0)))
+    ch = ch.reshape(zp, pz, ht, ph, wt, pw)
+    return ch.transpose(0, 2, 4, 1, 3, 5).reshape(zp, ht, wt, pz * ph * pw)
+
+
+def _surface_im2col(surface, constants, cfg: ModelConfig):
+    """(vars (B,·), masks (broadcast)) -> per-sample (B, HT, WT, S*ph*pw)
+    and shared (HT, WT, M*ph*pw) patch rows, both ordered (ch, h_off,
+    w_off) to match the surface kernel row layout."""
+    b = surface.shape[0]
+    pz, ph, pw = cfg.patch
+    dtype = surface.dtype
+    ht, wt = cfg.h_tokens, cfg.w_tokens
+    sm = constants["surface_mean"].astype(dtype)
+    ss = constants["surface_std"].astype(dtype)
+    sf = (surface - sm[None]) / ss[None]
+    sf = jnp.pad(sf, ((0, 0), (0, 0), (0, cfg.lat_padded - cfg.lat), (0, 0)))
+    sv = sf.reshape(b, cfg.surface_vars, ht, ph, wt, pw)
+    sv = sv.transpose(0, 2, 4, 1, 3, 5).reshape(
+        b, ht, wt, cfg.surface_vars * ph * pw)
+    if "surface_mask_patches" in constants:
+        mp = constants["surface_mask_patches"].astype(dtype)
+    else:
+        mk = constants["surface_masks"].astype(dtype)
+        mp = mk.reshape(cfg.const_masks, ht, ph, wt, pw)
+        mp = mp.transpose(1, 3, 0, 2, 4).reshape(
+            ht, wt, cfg.const_masks * ph * pw)
+    return sv, mp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def embed_wm_train(p, upper, surface, constants, cfg: ModelConfig):
+    """Differentiable :func:`embed_wm`: the Pallas kernel runs the forward
+    and the backward is direct XLA math (non-overlapping patches make the
+    conv transpose a reshape, and the weight grad one tall matmul) — the
+    training step never pays the XLA embed's conv/relayout gauntlet in
+    EITHER direction.  Weight/bias/input cotangents match ``jax.grad`` of
+    ``to_window_major(pad(L.patch_embed(...)))`` (pinned by
+    tests/test_ops.py); ``constants`` are data and get zero cotangents."""
+    return embed_wm(p, upper, surface, constants, cfg)
+
+
+def _embed_train_fwd(p, upper, surface, constants, cfg):
+    return embed_wm(p, upper, surface, constants, cfg), (p, upper, surface,
+                                                         constants)
+
+
+def _embed_train_bwd(cfg, res, dxs):
+    from pangu_tpu.ops.earth_block_wm import from_window_major
+
+    p, upper, surface, constants = res
+    # anti-hoist: tie the normalise/im2col recomputes to the cotangent's
+    # arrival, or XLA schedules them into the FORWARD and keeps the
+    # ~150 MB patch tensors alive across the whole step (the same
+    # slow-state HBM cliff NOTES.md documents for hand-rolled custom_vjp
+    # remat; jax.checkpoint plants this barrier automatically)
+    (upper, surface), dxs = jax.lax.optimization_barrier(
+        ((upper, surface), dxs))
+    geom = cfg.stage(0)
+    pz, ph, pw = cfg.patch
+    c = cfg.dims[0]
+    zp, ht, wt = cfg.upper_planes, cfg.h_tokens, cfg.w_tokens
+    b = upper.shape[0]
+    f32 = jnp.float32
+
+    # wm cotangent -> canonical token grid; the forward zeroed the lat-pad
+    # token rows, so their incoming cotangent is dropped by the crop
+    dtok = from_window_major(dxs, geom.window)[:, :, :ht]
+    du_tok = dtok[:, 1:]                         # (B, ZP, HT, WT, C)
+    ds_tok = dtok[:, 0]                          # (B, HT, WT, C)
+
+    # ---- upper branch ----------------------------------------------------
+    fv_u = cfg.upper_vars * pz * ph * pw         # 160 variable rows
+    cols = _upper_vars_im2col(upper, constants, cfg)
+    dk_u_vars = jax.lax.dot_general(
+        cols.reshape(-1, fv_u), du_tok.reshape(-1, c),
+        (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    chp = _const_h_im2col(constants, cfg).astype(f32)
+    du_sum = jnp.sum(du_tok.astype(f32), axis=0)  # const_h broadcast over B
+    dk_u_const = jax.lax.dot_general(
+        chp.reshape(-1, chp.shape[-1]), du_sum.reshape(-1, c),
+        (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    db_u = jnp.sum(du_sum, axis=(0, 1, 2))
+
+    # input cotangent: d(im2col) = dY @ K_vars^T, inverse-im2col'd back to
+    # the field (pure reshape — patches don't overlap), un-normalised.
+    # Dead-code-eliminated when only parameter grads are requested.
+    kv = p["upper"]["kernel"].astype(du_tok.dtype)
+    dcols = jax.lax.dot_general(
+        du_tok.reshape(-1, c), kv[:fv_u], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32).astype(du_tok.dtype)
+    dx = dcols.reshape(b, zp, ht, wt, cfg.upper_vars, pz, ph, pw)
+    dx = dx.transpose(0, 4, 1, 5, 2, 6, 3, 7).reshape(
+        b, cfg.upper_vars, cfg.levels_padded, cfg.lat_padded, cfg.lon)
+    us = constants["upper_std"].astype(du_tok.dtype)
+    d_upper = (dx[:, :, :cfg.levels, :cfg.lat] / us[None]).astype(upper.dtype)
+
+    # ---- surface branch ----------------------------------------------------
+    sv, mp = _surface_im2col(surface, constants, cfg)
+    fv = cfg.surface_vars * ph * pw
+    dk_s_vars = jax.lax.dot_general(
+        sv.reshape(-1, fv), ds_tok.reshape(-1, c),
+        (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    ds_sum = jnp.sum(ds_tok.astype(f32), axis=0)  # masks broadcast over B
+    dk_s_masks = jax.lax.dot_general(
+        mp.reshape(-1, mp.shape[-1]).astype(f32), ds_sum.reshape(-1, c),
+        (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    db_s = jnp.sum(ds_sum, axis=(0, 1))
+
+    ks = p["surface"]["kernel"].astype(ds_tok.dtype)
+    dsv = jax.lax.dot_general(
+        ds_tok.reshape(-1, c), ks[:fv], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32).astype(ds_tok.dtype)
+    dsf = dsv.reshape(b, ht, wt, cfg.surface_vars, ph, pw)
+    dsf = dsf.transpose(0, 3, 1, 4, 2, 5).reshape(
+        b, cfg.surface_vars, cfg.lat_padded, cfg.lon)
+    ss = constants["surface_std"].astype(ds_tok.dtype)
+    d_surface = (dsf[:, :, :cfg.lat] / ss[None]).astype(surface.dtype)
+
+    dp = {
+        "upper": {"kernel": jnp.concatenate([dk_u_vars, dk_u_const]
+                                            ).astype(
+                                                p["upper"]["kernel"].dtype),
+                  "bias": db_u.astype(p["upper"]["bias"].dtype)},
+        "surface": {"kernel": jnp.concatenate([dk_s_vars, dk_s_masks]
+                                              ).astype(
+                                                  p["surface"]["kernel"].dtype),
+                    "bias": db_s.astype(p["surface"]["bias"].dtype)},
+    }
+    dconst = jax.tree.map(jnp.zeros_like, constants)
+    return dp, d_upper, d_surface, dconst
+
+
+embed_wm_train.defvjp(_embed_train_fwd, _embed_train_bwd)

@@ -287,3 +287,127 @@ def recovery_wm(p, skip_wm, dec_wm, off, cfg: ModelConfig, *,
 
     return (upper[:, :, :cfg.levels, :cfg.lat],
             surface[:, :, :cfg.lat])
+
+
+# ---------------------------------------------------------------------------
+# Differentiable edge: Pallas forward + direct-math XLA backward
+# ---------------------------------------------------------------------------
+
+def _feat_cotangents(dU, dS, cfg: ModelConfig):
+    """Field cotangents -> per-token feature-space cotangents.
+
+    The recovery interleave (var, z_off, h_off, w_off) -> (levels, lat,
+    lon) is a permutation of non-overlapping patches, so its transpose is
+    the inverse reshape/transpose on the zero-padded cotangent — no
+    scatter, no conv_transpose."""
+    pz, ph, pw = cfg.patch
+    v, s = cfg.upper_vars, cfg.surface_vars
+    zp, ht, wt = cfg.upper_planes, cfg.h_tokens, cfg.w_tokens
+    b = dU.shape[0]
+    dUp = jnp.pad(dU, ((0, 0), (0, 0), (0, zp * pz - cfg.levels),
+                       (0, ht * ph - cfg.lat), (0, 0)))
+    dF_u = dUp.reshape(b, v, zp, pz, ht, ph, wt, pw)
+    dF_u = dF_u.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(
+        b, zp, ht, wt, v * pz * ph * pw)
+    dSp = jnp.pad(dS, ((0, 0), (0, 0), (0, ht * ph - cfg.lat), (0, 0)))
+    dF_s = dSp.reshape(b, s, ht, ph, wt, pw)
+    dF_s = dF_s.transpose(0, 2, 4, 1, 3, 5).reshape(b, ht, wt, s * ph * pw)
+    return dF_u, dF_s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def recovery_wm_train(p, skip_wm, dec_wm, off, cfg: ModelConfig):
+    """Differentiable :func:`recovery_wm`: the Pallas kernels run the
+    forward and the backward is direct XLA math — the token cotangents are
+    two matmuls against the transposed recovery kernels written straight
+    back into the ROLLED window-major storage the training trunk's
+    backward consumes (to_window_major ∘ roll(-off) is the exact transpose
+    of the kernel's stitch-read), and the weight grads are tall matmuls
+    against the recomputed canonical token rows.  Grads match ``jax.grad``
+    of ``L.patch_recovery((canon(skip), canon(dec)))`` (pinned by
+    tests/test_ops.py)."""
+    return recovery_wm(p, skip_wm, dec_wm, off, cfg)
+
+
+def _recovery_train_fwd(p, skip_wm, dec_wm, off, cfg):
+    out = recovery_wm(p, skip_wm, dec_wm, off, cfg)
+    return out, (p, skip_wm, dec_wm)
+
+
+def _recovery_train_bwd(off, cfg, res, cts):
+    from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                              to_window_major)
+
+    p, skip_wm, dec_wm = res
+    dU, dS = cts
+    # anti-hoist: tie the canonical-relayout recomputes to the cotangent's
+    # arrival, or XLA schedules them into the FORWARD and keeps the
+    # ~350 MB canon pair alive across the whole step (NOTES.md slow-state
+    # HBM cliff; jax.checkpoint plants this barrier automatically)
+    (skip_wm, dec_wm), (dU, dS) = jax.lax.optimization_barrier(
+        ((skip_wm, dec_wm), (dU, dS)))
+    geom = cfg.stage(3)
+    c = geom.dim
+    ht = cfg.h_tokens
+    f32 = jnp.float32
+    dF_u, dF_s = _feat_cotangents(dU, dS, cfg)
+
+    ku = p["upper"]["kernel"].astype(dF_u.dtype)    # (2C, V*pz*ph*pw)
+    ks = p["surface"]["kernel"].astype(dF_s.dtype)  # (2C, S*ph*pw)
+
+    # token cotangents per branch: plane 0 from the surface head, planes
+    # 1..ZP from the upper head (models/pangu_model.py:83-85 row split)
+    def branch_ct(rows_u, rows_s):
+        du = jax.lax.dot_general(
+            dF_u.reshape(-1, ku.shape[1]), rows_u,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=f32).astype(dF_u.dtype)
+        ds = jax.lax.dot_general(
+            dF_s.reshape(-1, ks.shape[1]), rows_s,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=f32).astype(dF_s.dtype)
+        b = dF_u.shape[0]
+        dcanon = jnp.concatenate(
+            [ds.reshape(b, 1, ht, cfg.w_tokens, c),
+             du.reshape(b, cfg.upper_planes, ht, cfg.w_tokens, c)], axis=1)
+        # transpose of crop∘roll(+off)∘from_wm: zero-pad, roll(-off), to_wm
+        dcanon = jnp.pad(dcanon, ((0, 0), (0, 0), (0, geom.h_padded - ht),
+                                  (0, 0), (0, 0)))
+        return to_window_major(
+            jnp.roll(dcanon, tuple(-o for o in off), axis=(1, 2, 3)),
+            geom.window)
+
+    d_skip_wm = branch_ct(ku[:c], ks[:c]).astype(skip_wm.dtype)
+    d_dec_wm = branch_ct(ku[c:], ks[c:]).astype(dec_wm.dtype)
+
+    # weight grads against the recomputed canonical token rows
+    def canon(t):
+        t = from_window_major(t, geom.window)
+        return jnp.roll(t, off, axis=(1, 2, 3))[:, :, :ht]
+
+    cs, cd = canon(skip_wm), canon(dec_wm)
+
+    def head_grads(feat_ct, plane):
+        parts = []
+        for t in (cs, cd):
+            x = t[:, 1:] if plane == "upper" else t[:, 0]
+            parts.append(jax.lax.dot_general(
+                x.reshape(-1, c), feat_ct.reshape(-1, feat_ct.shape[-1]),
+                (((0,), (0,)), ((), ())), preferred_element_type=f32))
+        dk = jnp.concatenate(parts, axis=0)
+        db = jnp.sum(feat_ct.astype(f32),
+                     axis=tuple(range(feat_ct.ndim - 1)))
+        return dk, db
+
+    dku, dbu = head_grads(dF_u, "upper")
+    dks, dbs = head_grads(dF_s, "surface")
+    dp = {
+        "upper": {"kernel": dku.astype(p["upper"]["kernel"].dtype),
+                  "bias": dbu.astype(p["upper"]["bias"].dtype)},
+        "surface": {"kernel": dks.astype(p["surface"]["kernel"].dtype),
+                    "bias": dbs.astype(p["surface"]["bias"].dtype)},
+    }
+    return dp, d_skip_wm, d_dec_wm
+
+
+recovery_wm_train.defvjp(_recovery_train_fwd, _recovery_train_bwd)

@@ -449,12 +449,15 @@ def test_forward_train_rng_parity_pallas_vs_xla():
                                rtol=1e-4)
 
 
-def test_forward_train_wm_trunk_grads_match_xla():
+@pytest.mark.parametrize("edges", [True, False])
+def test_forward_train_wm_trunk_grads_match_xla(edges):
     """The all-window-major training trunk (forward_core_wm_train via
     pangu.forward with deterministic=False: wm-io whole-block bwd kernels
     + differentiable wm down/up boundaries) must match the XLA path in
     BOTH loss value and every parameter/input gradient, with the same
-    drop-path RNG stream."""
+    drop-path RNG stream.  With ``edges`` the step also runs the
+    differentiable Pallas embed/recovery edges (embed_wm_train /
+    recovery_wm_train) — the full shipping training configuration."""
     import dataclasses
     from pangu_tpu.config import TINY
     from pangu_tpu.data.constants import synthetic_constants
@@ -470,7 +473,8 @@ def test_forward_train_wm_trunk_grads_match_xla():
     key = jax.random.PRNGKey(11)
 
     cfg_x = dataclasses.replace(TINY, attn_impl="xla")
-    cfg_p = dataclasses.replace(TINY, attn_impl="pallas", block_layout="wm")
+    cfg_p = dataclasses.replace(TINY, attn_impl="pallas", block_layout="wm",
+                                edge_kernels=edges)
 
     def loss(cfg):
         def f(p, uu, ss):
@@ -851,6 +855,126 @@ def test_recovery_wm_matches_patch_recovery(off):
                                atol=2e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_embed_wm_train_grads_match_xla():
+    """Differentiable edge embed (ops/embed_wm.embed_wm_train: Pallas
+    forward + direct-math XLA backward) == jax.grad of
+    to_window_major(pad(L.patch_embed(...))) for every parameter grad and
+    the upper/surface input cotangents."""
+    import dataclasses
+
+    from pangu_tpu.config import TINY
+    from pangu_tpu.data.constants import synthetic_constants
+    from pangu_tpu.models import pangu
+    from pangu_tpu.ops.earth_block_wm import to_window_major
+    from pangu_tpu.ops.embed_wm import embed_supported, embed_wm_train
+
+    cfg = dataclasses.replace(TINY, param_dtype="float32",
+                              compute_dtype="float32")
+    assert embed_supported(cfg)
+    params = pangu.init_params(jax.random.PRNGKey(0), cfg)
+    constants = {k: jnp.asarray(v)
+                 for k, v in synthetic_constants(cfg).items()}
+    rng = np.random.default_rng(11)
+    B = 2
+    upper = jnp.asarray(rng.normal(
+        size=(B, cfg.upper_vars, cfg.levels, cfg.lat, cfg.lon)
+    ).astype(np.float32))
+    surface = jnp.asarray(rng.normal(
+        size=(B, cfg.surface_vars, cfg.lat, cfg.lon)).astype(np.float32))
+    g0 = cfg.stage(0)
+    w_out = jnp.asarray(rng.normal(size=(
+        B, g0.z // g0.window[0], g0.h_padded // g0.window[1],
+        g0.w // g0.window[2], g0.window_tokens, cfg.dims[0])
+    ).astype(np.float32))
+
+    def f_xla(pe, up, sf):
+        x = L.patch_embed(pe, up, sf, constants, cfg)
+        x = to_window_major(
+            jnp.pad(x, ((0, 0), (0, 0), (0, g0.h_padded - x.shape[2]),
+                        (0, 0), (0, 0))), g0.window)
+        return jnp.sum(x * w_out)
+
+    def f_pal(pe, up, sf):
+        return jnp.sum(embed_wm_train(pe, up, sf, constants, cfg) * w_out)
+
+    g_ref = jax.grad(f_xla, argnums=(0, 1, 2))(params["patch_embed"],
+                                               upper, surface)
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(f_pal, argnums=(0, 1, 2))(params["patch_embed"],
+                                                   upper, surface)
+    flat_g = jax.tree_util.tree_leaves_with_path(g_got)
+    flat_r = jax.tree.leaves(g_ref)
+    assert len(flat_g) == len(flat_r)
+    for (path, a), b in zip(flat_g, flat_r):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        d = float(jnp.max(jnp.abs(a - b)))
+        assert d <= 5e-5 * scale, (
+            f"{jax.tree_util.keystr(path)}: maxdiff {d:.3e} vs {scale:.3e}")
+
+
+@pytest.mark.parametrize("off", [(0, 0, 0), (1, 3, 6)])
+def test_recovery_wm_train_grads_match_xla(off):
+    """Differentiable edge recovery (ops/recovery_wm.recovery_wm_train:
+    Pallas forward + direct-math XLA backward) == jax.grad of
+    L.patch_recovery((canon(skip), canon(dec))) for the head weight/bias
+    grads AND the rolled-wm token cotangents the training trunk's
+    backward consumes."""
+    import dataclasses
+
+    from pangu_tpu.config import TINY
+    from pangu_tpu.models import pangu
+    from pangu_tpu.ops.earth_block_wm import (from_window_major,
+                                              to_window_major)
+    from pangu_tpu.ops.recovery_wm import (recovery_supported,
+                                           recovery_wm_train)
+
+    cfg = dataclasses.replace(TINY, param_dtype="float32",
+                              compute_dtype="float32")
+    assert recovery_supported(cfg)
+    params = pangu.init_params(jax.random.PRNGKey(0), cfg)
+    g3 = cfg.stage(3)
+    rng = np.random.default_rng(12)
+    B = 2
+    skip_c = jnp.asarray(rng.normal(
+        size=(B, g3.z, g3.h_padded, g3.w, g3.dim)).astype(np.float32))
+    dec_c = jnp.asarray(rng.normal(
+        size=(B, g3.z, g3.h_padded, g3.w, g3.dim)).astype(np.float32))
+    skip_s = to_window_major(
+        jnp.roll(skip_c, tuple(-o for o in off), axis=(1, 2, 3)), g3.window)
+    dec_s = to_window_major(
+        jnp.roll(dec_c, tuple(-o for o in off), axis=(1, 2, 3)), g3.window)
+    wu = jnp.asarray(rng.normal(
+        size=(B, cfg.upper_vars, cfg.levels, cfg.lat, cfg.lon)
+    ).astype(np.float32))
+    ws = jnp.asarray(rng.normal(
+        size=(B, cfg.surface_vars, cfg.lat, cfg.lon)).astype(np.float32))
+
+    def r_xla(pr, ss, ds):
+        def canon(t):
+            t = from_window_major(t, g3.window)
+            return jnp.roll(t, off, axis=(1, 2, 3))[:, :, :g3.h]
+        u, s = L.patch_recovery(pr, (canon(ss), canon(ds)), cfg)
+        return jnp.sum(u * wu) + jnp.sum(s * ws)
+
+    def r_pal(pr, ss, ds):
+        u, s = recovery_wm_train(pr, ss, ds, off, cfg)
+        return jnp.sum(u * wu) + jnp.sum(s * ws)
+
+    g_ref = jax.grad(r_xla, argnums=(0, 1, 2))(params["patch_recovery"],
+                                               skip_s, dec_s)
+    with pltpu.force_tpu_interpret_mode():
+        g_got = jax.grad(r_pal, argnums=(0, 1, 2))(params["patch_recovery"],
+                                                   skip_s, dec_s)
+    flat_g = jax.tree_util.tree_leaves_with_path(g_got)
+    flat_r = jax.tree.leaves(g_ref)
+    assert len(flat_g) == len(flat_r)
+    for (path, a), b in zip(flat_g, flat_r):
+        scale = max(1.0, float(jnp.max(jnp.abs(b))))
+        d = float(jnp.max(jnp.abs(a - b)))
+        assert d <= 5e-5 * scale, (
+            f"{jax.tree_util.keystr(path)}: maxdiff {d:.3e} vs {scale:.3e}")
 
 
 def test_forward_edge_kernels_matches_xla_forward():
