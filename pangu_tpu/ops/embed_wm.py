@@ -215,44 +215,134 @@ def embed_wm(p, upper, surface, constants, cfg: ModelConfig, *,
 
 
 # ---------------------------------------------------------------------------
-# Differentiable edge: Pallas forward + direct-math XLA backward
+# Differentiable edge: Pallas forward + Pallas/XLA backward
 # ---------------------------------------------------------------------------
 
-def _upper_vars_im2col(upper, constants, cfg: ModelConfig):
-    """Normalised upper-air VARIABLE fields -> (B, ZP, HT, WT, V*pz*ph*pw)
-    patch rows ordered (var, z_off, h_off, w_off) — the embed projection's
-    im2col operand.  The patch stride equals the patch size
-    (models/layers.py:17-18 uses Conv1d on im2col'd non-overlapping
-    patches), so the gather is a pure reshape/transpose.  The const_h
-    channel is kept separate (:func:`_const_h_im2col`) for the same reason
-    patch_embed splits its convolutions: the 6-channel concat draws a
-    pathologically padded XLA layout."""
-    b = upper.shape[0]
+def _make_dw_kernel(cfg: ModelConfig, nlon: int, wh: int, ww: int, c: int):
+    """Weight-grad kernel for the upper embed branch: same tile walk as
+    the forward (:func:`_make_kernel`), but each program contracts its
+    im2col'd patch rows against the window-major cotangent block and
+    accumulates dK (pw, rows, C) + db (1, C) in fp32 output blocks that
+    every program maps to.  This kills the XLA direct-math backward's
+    8-D im2col materialisation, whose (.., wt, pw) trailing dims draw a
+    lane-padded layout ~32x the logical size (~4.7 GB, ~21 ms/step)."""
     pz, ph, pw = cfg.patch
-    v = cfg.upper_vars
-    dtype = upper.dtype
-    zp, ht, wt = cfg.upper_planes, cfg.h_tokens, cfg.w_tokens
+    v1 = cfg.upper_vars + 1
+    rows = ph * v1 * pz
+    wt = cfg.w_tokens
+    lon_pad = _lon_pad(cfg)
+    wt_pad = lon_pad // pw
+    h_real = cfg.h_tokens
+    f32 = jnp.float32
+
+    def kernel(xn_ref, dy_ref, dk_ref, db_ref):
+        bb = pl.program_id(0)
+        hh = pl.program_id(1)
+        z = pl.program_id(2)
+
+        @pl.when((bb == 0) & (hh == 0) & (z == 0))
+        def _():
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+            db_ref[...] = jnp.zeros_like(db_ref)
+
+        @pl.when(z > 0)
+        def _():
+            x = xn_ref[0]                        # (V1, pz, 2*ph, lon_pad)
+            x = x.transpose(2, 0, 1, 3)          # (2*ph, V1, pz, lon_pad)
+            x = x.reshape(2, ph, v1, pz, lon_pad)
+            g = dy_ref[0, 0, 0].reshape(nlon, 2, ww, c)
+            g = g.transpose(1, 0, 2, 3)          # (2, nlon, ww, c)
+            for sub in range(2):
+                t = x[sub].reshape(rows, lon_pad)
+                t = t.T                          # (LON_PAD, rows) — the one
+                t = t.reshape(wt_pad, pw, rows)  # lane<->sublane transpose
+                y = g[sub].reshape(wt, c)
+                # the forward zeroed token-lat pad rows; their incoming
+                # cotangent is dead and must not reach the weight grad
+                y = jnp.where(2 * hh + sub < h_real, y, jnp.zeros_like(y))
+                for wo in range(pw):
+                    d = jax.lax.dot_general(
+                        t[:wt, wo, :], y, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                    dk_ref[wo] += d
+                db_ref[0] += jnp.sum(y.astype(f32), axis=0)
+
+    return kernel
+
+
+def embed_dw_upper(dxs, upper, constants, cfg: ModelConfig, *,
+                   interpret: bool = False):
+    """Upper-branch embed weight grads straight from the window-major
+    cotangent: (dK (V1*pz*ph*pw, C) fp32 in the ONNX row order of
+    p['upper']['kernel'], db (C,) fp32).  const_h rows fall out of the
+    same contraction (const_h rides x6 as channel V1-1, broadcast over
+    batch, so accumulating over the batch grid IS its cotangent sum)."""
+    geom = cfg.stage(0)
+    wz, wh, ww = geom.window
+    nz = geom.z // wz
+    nlat = geom.h_padded // wh
+    nlon = geom.w // ww
+    c = cfg.dims[0]
+    pz, ph, pw = cfg.patch
+    v1 = cfg.upper_vars + 1
+    rows = ph * v1 * pz
+    b = upper.shape[0]
+    dtype = dxs.dtype
+
+    # same normalise + const_h concat + pad pre-pass as the forward (the
+    # caller's optimization_barrier ties this recompute to the cotangent)
     um = constants["upper_mean"].astype(dtype)
     us = constants["upper_std"].astype(dtype)
-    up = (upper - um[None]) / us[None]
-    up = jnp.pad(up, ((0, 0), (0, 0), (0, cfg.levels_padded - cfg.levels),
-                      (0, cfg.lat_padded - cfg.lat), (0, 0)))
-    up = up.reshape(b, v, zp, pz, ht, ph, wt, pw)
-    return up.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(
-        b, zp, ht, wt, v * pz * ph * pw)
+    up = (upper.astype(dtype) - um[None]) / us[None]
+    x6 = jnp.concatenate(
+        [up, jnp.broadcast_to(constants["const_h"].astype(dtype)[None, None],
+                              (b, 1, cfg.levels, cfg.lat, cfg.lon))], axis=1)
+    lat_in = nlat * wh * ph
+    x6 = jnp.pad(x6, ((0, 0), (0, 0),
+                      (0, cfg.levels_padded - cfg.levels),
+                      (0, lat_in - cfg.lat), (0, _lon_pad(cfg) - cfg.lon)))
 
+    n_hh = nlat * wh // 2
+    zplanes = nz * wz
 
-def _const_h_im2col(constants, cfg: ModelConfig):
-    """const_h patch rows (ZP, HT, WT, pz*ph*pw), shared across batch."""
-    if "const_h_patches" in constants:
-        return constants["const_h_patches"]
-    pz, ph, pw = cfg.patch
-    zp, ht, wt = cfg.upper_planes, cfg.h_tokens, cfg.w_tokens
-    ch = jnp.pad(constants["const_h"],
-                 ((0, cfg.levels_padded - cfg.levels),
-                  (0, cfg.lat_padded - cfg.lat), (0, 0)))
-    ch = ch.reshape(zp, pz, ht, ph, wt, pw)
-    return ch.transpose(0, 2, 4, 1, 3, 5).reshape(zp, ht, wt, pz * ph * pw)
+    def xn_imap(bb, hh, z):
+        return (bb, 0, jnp.maximum(z - 1, 0), hh, 0)
+
+    x_spec = pl.BlockSpec((1, v1, pz, 2 * ph, _lon_pad(cfg)),
+                          xn_imap, memory_space=pltpu.VMEM)
+    dy_spec = pl.BlockSpec(
+        (1, 1, 1, nlon, 2 * ww, c),
+        lambda bb, hh, z: (bb, z // 2, hh // (wh // 2), 0,
+                           (wh // 2) * (z % 2) + hh % (wh // 2), 0),
+        memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((pw, rows, c), lambda bb, hh, z: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    db_spec = pl.BlockSpec((1, c), lambda bb, hh, z: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    dk4, db = pl.pallas_call(
+        _make_dw_kernel(cfg, nlon, wh, ww, c),
+        out_shape=(jax.ShapeDtypeStruct((pw, rows, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32)),
+        grid=(b, n_hh, zplanes),
+        in_specs=[x_spec, dy_spec],
+        out_specs=(acc_spec, db_spec),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * (zplanes - 1) * n_hh * 2 * pw
+            * cfg.w_tokens * rows * c,
+            bytes_accessed=int(x6.size * x6.dtype.itemsize
+                               + dxs.size * dxs.dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(x6, dxs)
+
+    # kernel rows are (ph, v1, pz) per w_off (the forward's projection
+    # layout, _upper_weights) -> ONNX (v1, pz, ph, pw) row order
+    dk = dk4.reshape(pw, ph, v1, pz, c).transpose(2, 3, 1, 0, 4)
+    return dk.reshape(v1 * pz * ph * pw, c), db[0]
 
 
 def _surface_im2col(surface, constants, cfg: ModelConfig):
@@ -321,18 +411,9 @@ def _embed_train_bwd(cfg, res, dxs):
     du_tok = dtok[:, 1:]                         # (B, ZP, HT, WT, C)
     ds_tok = dtok[:, 0]                          # (B, HT, WT, C)
 
-    # ---- upper branch ----------------------------------------------------
+    # ---- upper branch: Pallas dW kernel off the wm cotangent --------------
     fv_u = cfg.upper_vars * pz * ph * pw         # 160 variable rows
-    cols = _upper_vars_im2col(upper, constants, cfg)
-    dk_u_vars = jax.lax.dot_general(
-        cols.reshape(-1, fv_u), du_tok.reshape(-1, c),
-        (((0,), (0,)), ((), ())), preferred_element_type=f32)
-    chp = _const_h_im2col(constants, cfg).astype(f32)
-    du_sum = jnp.sum(du_tok.astype(f32), axis=0)  # const_h broadcast over B
-    dk_u_const = jax.lax.dot_general(
-        chp.reshape(-1, chp.shape[-1]), du_sum.reshape(-1, c),
-        (((0,), (0,)), ((), ())), preferred_element_type=f32)
-    db_u = jnp.sum(du_sum, axis=(0, 1, 2))
+    dk_u, db_u = embed_dw_upper(dxs, upper, constants, cfg)
 
     # input cotangent: d(im2col) = dY @ K_vars^T, inverse-im2col'd back to
     # the field (pure reshape — patches don't overlap), un-normalised.
@@ -370,9 +451,7 @@ def _embed_train_bwd(cfg, res, dxs):
     d_surface = (dsf[:, :, :cfg.lat] / ss[None]).astype(surface.dtype)
 
     dp = {
-        "upper": {"kernel": jnp.concatenate([dk_u_vars, dk_u_const]
-                                            ).astype(
-                                                p["upper"]["kernel"].dtype),
+        "upper": {"kernel": dk_u.astype(p["upper"]["kernel"].dtype),
                   "bias": db_u.astype(p["upper"]["bias"].dtype)},
         "surface": {"kernel": jnp.concatenate([dk_s_vars, dk_s_masks]
                                               ).astype(

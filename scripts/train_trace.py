@@ -74,12 +74,12 @@ def main():
     pbs = glob.glob(_os.path.join(trace_dir, "**", "*.xplane.pb"),
                     recursive=True)
     planes = load_xspace(pbs[-1])
-    totals = op_totals(planes)
+    totals = op_totals(planes)  # values are already in ms
     items = sorted(totals.items(), key=lambda kv: -kv[1])
     tot = sum(totals.values())
-    print(f"total device op time {tot / 1e6 / 2:.1f} ms/step (2 steps)")
-    for name, ns in items[:40]:
-        print(f"  {ns / 1e6 / 2:8.2f} ms  {name[:110]}")
+    print(f"total device op time {tot / 2:.1f} ms/step (2 steps)")
+    for name, ms in items[:40]:
+        print(f"  {ms / 2:8.2f} ms  {name[:110]}")
 
 
 if __name__ == "__main__":
