@@ -290,8 +290,256 @@ def recovery_wm(p, skip_wm, dec_wm, off, cfg: ModelConfig, *,
 
 
 # ---------------------------------------------------------------------------
-# Differentiable edge: Pallas forward + direct-math XLA backward
+# Differentiable edge: Pallas forward + Pallas backward
 # ---------------------------------------------------------------------------
+
+def _make_bwd_kernel(cfg: ModelConfig, geom, off, nk: int, nlon: int,
+                     zs_surf: int, zi_surf: int):
+    """Transpose of the recovery forward, one program per STORAGE block
+    (bb, z-window, lat-window): reads the field-cotangent chunks that this
+    block's canonical tokens produced (modular lat/z index maps — the
+    inverse of the forward's stitch-read), runs the selection-matmul
+    interleave TRANSPOSED (contract physical lon lanes, no 8-D im2col
+    tensor ever exists), emits both wm token-cotangent blocks, and
+    accumulates the head weight/bias grads in fp32 against the saved
+    skip/dec storage rows.  Replaces the direct-math XLA backward whose
+    (.., wt, pw)-trailing im2col drew a ~4.7 GB lane-padded layout."""
+    wz, wh, ww = geom.window
+    pz, ph, pw = cfg.patch
+    v = cfg.upper_vars
+    sv = cfg.surface_vars
+    c = geom.dim
+    wt = cfg.w_tokens
+    wt_pad = -(-wt // 128) * 128
+    rvo = v * pz * ph                            # 40 upper rows per wo
+    rvs = sv * ph                                # 16 surface rows per wo
+    n = wz * wh * ww
+    ht = cfg.h_tokens
+    lat_tok = (geom.h_padded // wh) * wh         # 186 canonical lat tokens
+    f32 = jnp.float32
+
+    def kernel(*refs):
+        du = [refs[zi * nk:(zi + 1) * nk] for zi in range(2)]
+        ds = refs[2 * nk:3 * nk]
+        (sk_ref, dc_ref, wsk4, wdc4, ssk4, sdc4, sel_ref,
+         o_sk, o_dc, ak_sk, ak_dc, as_sk, as_dc, ab_u, ab_s,
+         scr_sk, scr_dc) = refs[3 * nk:]
+        bb = pl.program_id(0)
+        zs = pl.program_id(1)
+        ls = pl.program_id(2)
+
+        @pl.when((bb == 0) & (zs == 0) & (ls == 0))
+        def _():
+            for r in (ak_sk, ak_dc, as_sk, as_dc, ab_u, ab_s):
+                r[...] = jnp.zeros_like(r)
+
+        # saved storage rows -> canonical lon order (matches the dt tiles)
+        xs_c = _lon_unroll(sk_ref[0, 0, 0], ww, -off[2])    # (nlon, n, C)
+        xd_c = _lon_unroll(dc_ref[0, 0, 0], ww, -off[2])
+        xs5 = xs_c.reshape(nlon, wz, wh, ww, c)
+        xd5 = xd_c.reshape(nlon, wz, wh, ww, c)
+
+        def field_rows(chunks, j, width):
+            """This (zi, j)'s field-cotangent rows (width, lon): chunk
+            concat + the off-lat cut + the per-token-lat slice."""
+            if nk == 1:
+                cut = chunks[0][0]
+            else:
+                cat = jnp.concatenate([ch[0] for ch in chunks], axis=-2)
+                cut = cat[..., off[1] * ph:(off[1] + wh) * ph, :]
+            r = jax.lax.slice_in_dim(cut, j * ph, (j + 1) * ph, axis=-2)
+            return r.reshape(width, cfg.lon)
+
+        def accum(zi, j, d_os, w4a, w4b, aka, akb, ab, width):
+            """Shared per-(zi, j) math: transposed interleave, d_rows for
+            both branches, weight/bias grad accumulation."""
+            L = jax.lax.rem(ls * wh + off[1] + j, lat_tok)
+            d_os = jnp.where(L < ht, d_os, jnp.zeros_like(d_os))
+            xs_j = xs5[:, zi, j].reshape(wt, c)
+            xd_j = xd5[:, zi, j].reshape(wt, c)
+            rs = None
+            rd = None
+            for wo in range(pw):
+                dt = jax.lax.dot_general(
+                    d_os, sel_ref[wo], (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32).astype(d_os.dtype)
+                a = jax.lax.dot_general(
+                    dt, w4a[wo], (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                b_ = jax.lax.dot_general(
+                    dt, w4b[wo], (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                rs = a if rs is None else rs + a
+                rd = b_ if rd is None else rd + b_
+                dtw = dt[:, :wt]
+                aka[wo, :width] += jax.lax.dot_general(
+                    dtw, xs_j, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                akb[wo, :width] += jax.lax.dot_general(
+                    dtw, xd_j, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+                ab[wo, :width] += jnp.sum(dtw.astype(f32), axis=1)
+            scr_sk[zi, j] = rs.astype(scr_sk.dtype)[:wt]
+            scr_dc[zi, j] = rd.astype(scr_dc.dtype)[:wt]
+
+        for zi in range(2):
+            is_surf = (zs == zs_surf) if zi == zi_surf else False
+            if zi == zi_surf:
+                @pl.when(zs == zs_surf)
+                def _(zi=zi):
+                    for j in range(wh):
+                        d_os = field_rows(ds, j, rvs)
+                        accum(zi, j, d_os, ssk4, sdc4, as_sk, as_dc,
+                              ab_s, rvs)
+
+                @pl.when(zs != zs_surf)
+                def _(zi=zi):
+                    for j in range(wh):
+                        d_os = field_rows(du[zi], j, rvo)
+                        accum(zi, j, d_os, wsk4, wdc4, ak_sk, ak_dc,
+                              ab_u, rvo)
+            else:
+                for j in range(wh):
+                    d_os = field_rows(du[zi], j, rvo)
+                    accum(zi, j, d_os, wsk4, wdc4, ak_sk, ak_dc, ab_u, rvo)
+
+        def store(scr, o_ref):
+            rows = scr[...].reshape(wz, wh, nlon, ww, c)
+            rows = rows.transpose(2, 0, 1, 3, 4).reshape(nlon, n, c)
+            o_ref[0, 0, 0] = _lon_unroll(rows, ww, off[2])
+        store(scr_sk, o_sk)
+        store(scr_dc, o_dc)
+
+    return kernel
+
+
+def recovery_bwd_pallas(p, skip_wm, dec_wm, dU, dS, off, cfg: ModelConfig,
+                        *, interpret: bool = False):
+    """Pallas recovery backward: field cotangents (dU (B,5,levels,lat,
+    lon), dS (B,4,lat,lon)) + saved rolled-wm storage pair -> (dp,
+    d_skip_wm, d_dec_wm).  Equals jax.grad of
+    ``L.patch_recovery((canon(skip), canon(dec)))`` — pinned by
+    tests/test_ops.py::test_recovery_wm_train_grads_match_xla."""
+    geom = cfg.stage(3)
+    wz, wh, ww = geom.window
+    b, nz, nlat, nlon, n, c = skip_wm.shape
+    pz, ph, pw = cfg.patch
+    v = cfg.upper_vars
+    sv = cfg.surface_vars
+    dtype = skip_wm.dtype
+    nk = 2 if off[1] else 1
+    wt_pad = -(-cfg.w_tokens // 128) * 128
+    rvo = v * pz * ph
+    rvs = sv * ph
+    zplanes = nz * wz
+
+    # surface token plane (canonical z 0) lives at storage
+    # (zs_surf, zi_surf): zs*wz + zi + off0 == 0 (mod zplanes)
+    zq = (-off[0]) % zplanes
+    zs_surf, zi_surf = zq // wz, zq % wz
+
+    lat_pad = nlat * wh * ph
+    dUp = jnp.pad(dU.astype(dtype),
+                  ((0, 0), (0, 0), (0, cfg.upper_planes * pz - cfg.levels),
+                   (0, lat_pad - cfg.lat), (0, 0)))
+    dSp = jnp.pad(dS.astype(dtype),
+                  ((0, 0), (0, 0), (0, lat_pad - cfg.lat), (0, 0)))
+
+    sel = jnp.asarray(_sel_matrix(cfg.w_tokens, wt_pad, pw, cfg.lon)
+                      ).astype(dtype)
+    # per-w_off weight slabs (pw, rows, C): feat = (rows, wo), wo fastest
+    ku = p["upper"]["kernel"].astype(dtype)       # (2C, 160)
+    ks = p["surface"]["kernel"].astype(dtype)     # (2C, 64)
+    wsk4 = ku[:c].reshape(c, rvo, pw).transpose(2, 1, 0)
+    wdc4 = ku[c:].reshape(c, rvo, pw).transpose(2, 1, 0)
+    ssk4 = ks[:c].reshape(c, rvs, pw).transpose(2, 1, 0)
+    sdc4 = ks[c:].reshape(c, rvs, pw).transpose(2, 1, 0)
+
+    def du_spec(zi, k):
+        def imap(bb, zs, ls):
+            zp = (zs * wz + zi + off[0]) % zplanes
+            return (bb, 0, jnp.maximum(zp - 1, 0), (ls + k) % nlat, 0)
+        return pl.BlockSpec((1, v, pz, wh * ph, cfg.lon), imap,
+                            memory_space=pltpu.VMEM)
+
+    def ds_spec(k):
+        return pl.BlockSpec((1, sv, wh * ph, cfg.lon),
+                            lambda bb, zs, ls: (bb, 0, (ls + k) % nlat, 0),
+                            memory_space=pltpu.VMEM)
+
+    blk = pl.BlockSpec((1, 1, 1, nlon, n, c),
+                       lambda bb, zs, ls: (bb, zs, ls, 0, 0, 0),
+                       memory_space=pltpu.VMEM)
+
+    def fullspec(shape):
+        return pl.BlockSpec(shape, lambda bb, zs, ls: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def accspec(shape):
+        return pl.BlockSpec(shape, lambda bb, zs, ls: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct(skip_wm.shape, dtype),          # d_skip
+        jax.ShapeDtypeStruct(dec_wm.shape, dtype),           # d_dec
+        jax.ShapeDtypeStruct((pw, rvo, c), jnp.float32),     # dk skip upper
+        jax.ShapeDtypeStruct((pw, rvo, c), jnp.float32),     # dk dec upper
+        jax.ShapeDtypeStruct((pw, rvo, c), jnp.float32),     # dk skip surf
+        jax.ShapeDtypeStruct((pw, rvo, c), jnp.float32),     # dk dec surf
+        jax.ShapeDtypeStruct((pw, rvo), jnp.float32),        # db upper
+        jax.ShapeDtypeStruct((pw, rvo), jnp.float32),        # db surf
+    )
+    out_specs = (blk, blk, accspec((pw, rvo, c)), accspec((pw, rvo, c)),
+                 accspec((pw, rvo, c)), accspec((pw, rvo, c)),
+                 accspec((pw, rvo)), accspec((pw, rvo)))
+
+    in_specs = ([du_spec(zi, k) for zi in range(2) for k in range(nk)]
+                + [ds_spec(k) for k in range(nk)]
+                + [blk, blk, fullspec(wsk4.shape), fullspec(wdc4.shape),
+                   fullspec(ssk4.shape), fullspec(sdc4.shape),
+                   fullspec(sel.shape)])
+
+    outs = pl.pallas_call(
+        _make_bwd_kernel(cfg, geom, off, nk, nlon, zs_surf, zi_surf),
+        out_shape=out_shapes,
+        grid=(b, nz, nlat),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((wz, wh, cfg.w_tokens, c), dtype),
+                        pltpu.VMEM((wz, wh, cfg.w_tokens, c), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * nz * nlat * wz * wh * pw
+            * (rvo * cfg.lon * wt_pad + 2 * wt_pad * rvo * c
+               + 2 * cfg.w_tokens * rvo * c),
+            bytes_accessed=int((2 * nk + 2)
+                               * (dUp.size + dSp.size) * dtype.itemsize
+                               + 4 * skip_wm.size * dtype.itemsize),
+            transcendentals=0),
+        interpret=interpret,
+    )(*([dUp] * (2 * nk) + [dSp] * nk
+        + [skip_wm, dec_wm, wsk4, wdc4, ssk4, sdc4, sel]))
+
+    (d_skip, d_dec, ak_sk, ak_dc, as_sk, as_dc, ab_u, ab_s) = outs
+
+    def feat_of(a4, width):
+        # (pw, rows, C) -> (C, rows*pw) with feat = rows*pw + wo
+        return a4[:, :width].transpose(2, 1, 0).reshape(c, width * pw)
+
+    dku = jnp.concatenate([feat_of(ak_sk, rvo), feat_of(ak_dc, rvo)], axis=0)
+    dks = jnp.concatenate([feat_of(as_sk, rvs), feat_of(as_dc, rvs)], axis=0)
+    dbu = ab_u.transpose(1, 0).reshape(rvo * pw)
+    dbs = ab_s[:, :rvs].transpose(1, 0).reshape(rvs * pw)
+    dp = {
+        "upper": {"kernel": dku.astype(p["upper"]["kernel"].dtype),
+                  "bias": dbu.astype(p["upper"]["bias"].dtype)},
+        "surface": {"kernel": dks.astype(p["surface"]["kernel"].dtype),
+                    "bias": dbs.astype(p["surface"]["bias"].dtype)},
+    }
+    return dp, d_skip, d_dec
+
 
 def _feat_cotangents(dU, dS, cfg: ModelConfig):
     """Field cotangents -> per-token feature-space cotangents.
@@ -335,15 +583,27 @@ def _recovery_train_fwd(p, skip_wm, dec_wm, off, cfg):
 
 
 def _recovery_train_bwd(off, cfg, res, cts):
+    p, skip_wm, dec_wm = res
+    dU, dS = cts
+    # anti-hoist: tie the saved-storage reads to the cotangent's arrival,
+    # or XLA schedules backward work into the FORWARD and keeps big
+    # intermediates alive across the whole step (NOTES.md slow-state HBM
+    # cliff; jax.checkpoint plants this barrier automatically)
+    (skip_wm, dec_wm), (dU, dS) = jax.lax.optimization_barrier(
+        ((skip_wm, dec_wm), (dU, dS)))
+    dp, d_skip_wm, d_dec_wm = recovery_bwd_pallas(
+        p, skip_wm, dec_wm, dU, dS, off, cfg)
+    return dp, d_skip_wm, d_dec_wm
+
+
+def _recovery_train_bwd_xla(off, cfg, res, cts):
+    """The direct-math XLA backward (kept as the reference/fallback for
+    recovery_bwd_pallas; tests/test_ops.py pins both against jax.grad)."""
     from pangu_tpu.ops.earth_block_wm import (from_window_major,
                                               to_window_major)
 
     p, skip_wm, dec_wm = res
     dU, dS = cts
-    # anti-hoist: tie the canonical-relayout recomputes to the cotangent's
-    # arrival, or XLA schedules them into the FORWARD and keeps the
-    # ~350 MB canon pair alive across the whole step (NOTES.md slow-state
-    # HBM cliff; jax.checkpoint plants this barrier automatically)
     (skip_wm, dec_wm), (dU, dS) = jax.lax.optimization_barrier(
         ((skip_wm, dec_wm), (dU, dS)))
     geom = cfg.stage(3)
