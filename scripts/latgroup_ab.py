@@ -1,6 +1,8 @@
-"""A/B: lat-grouped interior wm kernels (gh windows/program) vs gh=1 on
-a full wm-io stage chain, same process, chained inputs.
+"""A/B: lat-grouped interior wm kernels (gh windows/program) on a full
+wm-io stage chain, same process, chained inputs.
 Usage: python scripts/latgroup_ab.py [stage=1] [n_blocks=12] [gh=4]
+``gh`` may be a comma list ("2,4") to compare several groupings; the
+first value is the equivalence anchor for the maxdiff check.
 """
 
 import os as _os
@@ -28,7 +30,8 @@ def main():
 
     stage_idx = int(sys.argv[1]) if len(sys.argv) > 1 else 1
     n_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 12
-    gh = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    ghs = ([int(g) for g in sys.argv[3].split(",")]
+           if len(sys.argv) > 3 else [1, 4])
 
     cfg = PANGU_24
     geom = cfg.stage(stage_idx)
@@ -52,23 +55,24 @@ def main():
             return ys * jnp.bfloat16(0.999)
         return f
 
-    print(f"stage {stage_idx}: blocks={n_blocks} nlat={hp//6} gh={gh}",
+    print(f"stage {stage_idx}: blocks={n_blocks} nlat={hp//6} ghs={ghs}",
           flush=True)
 
     fns = {}
-    for g in (1, gh):
+    for g in ghs:
         fns[g] = jax.jit(chain(g), donate_argnums=0)
         t0 = time.perf_counter()
         jax.block_until_ready(fns[g](xw0 + 0))
         print(f"gh={g} compile {time.perf_counter()-t0:.1f}s", flush=True)
 
-    y1 = np.asarray(jax.block_until_ready(fns[1](xw0 + 0)), np.float32)
-    yg = np.asarray(jax.block_until_ready(fns[gh](xw0 + 0)), np.float32)
-    d = np.max(np.abs(y1 - yg))
-    print(f"maxdiff {d:.3e}", flush=True)
+    y1 = np.asarray(jax.block_until_ready(fns[ghs[0]](xw0 + 0)), np.float32)
+    for g in ghs[1:]:
+        yg = np.asarray(jax.block_until_ready(fns[g](xw0 + 0)), np.float32)
+        d = np.max(np.abs(y1 - yg))
+        print(f"maxdiff gh={ghs[0]} vs gh={g}: {d:.3e}", flush=True)
 
     for _ in range(2):
-        for g in (1, gh):
+        for g in ghs:
             x = jax.block_until_ready(fns[g](xw0 + 0))
             n = 10
             t0 = time.perf_counter()
