@@ -2,7 +2,7 @@
 
 Prints the primary metric as ONE JSON line the moment the rollout
 measurement lands — {"metric", "value", "unit", "vs_baseline", ...} —
-then best-effort measures the secondaries (cold single step, full train
+then best-effort measures the secondaries (full train step, cold single
 step, batch-4 rollout) under a global wall-clock deadline, RE-PRINTING
 the enriched JSON line after each success.  Every line on stdout is a
 complete, valid JSON object with the same schema; progress goes to
@@ -18,42 +18,57 @@ full-geometry fwd+bwd+Adam step (remat, fused kernels), chained through
 the evolving optimizer state (models/pangu_sample.py:11-176 is the loop
 it replaces).
 
+Budget design (r04 post-mortem: the driver's real wall budget is
+~28-30 min and it runs from a clean checkout, i.e. a COLD compile
+cache unless .jax_cache is committed):
+ * each metric child COMPILES AND MEASURES in one process — the old
+   separate --warm/--measure children paid the multi-minute per-process
+   compile-cache load twice per metric;
+ * the inference child runs rollout -> single -> batch4 in one process
+   (shared setup, shared in-memory executables), streaming each value
+   the moment it lands and skipping later progs when its own budget
+   runs short;
+ * the parent re-prints the cumulative JSON line after every streamed
+   value, so a driver-side kill at ANY point leaves the most complete
+   parseable artifact on stdout;
+ * DEADLINE_S defaults to 1560 s (driver kill observed at >=1699 s).
+
 Outage hardening (the TPU tunnel has documented multi-hour outages where
 backend init hangs ~20-25 min): the parent process NEVER imports jax.
 It first probes the backend in a strictly timeout-bounded subprocess;
 if the probe can't produce a backend inside PROBE_TIMEOUT_S (twice),
 it prints a structured error JSON and exits — total wall clock on the
-outage path is ~5 minutes, never a driver-side rc=124.  Warm-ups and
-measurements each run in their own bounded subprocess from the
-persistent compile cache, so no single slow program can sink the rest.
+outage path is ~5 minutes, never a driver-side rc=124.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import queue
 import subprocess
 import sys
+import threading
 import time
 
 BASELINE_MS = 150.0
 STEPS = 10
 PROBE_TIMEOUT_S = 150      # backend init hangs ~20 min when the tunnel is
                            # down; a healthy init answers in < 30 s
-WARM_TIMEOUT_S = 1500      # per-program compile+cache budget (remote
-                           # compile of one full-geometry program has been
-                           # observed at ~19 min on a degraded tunnel)
-# Per-metric measurement budgets (each metric runs in its OWN bounded
-# subprocess from a warm compile cache; trace + cache-load of one
-# full-geometry program is minutes even when fully cached)
-MEASURE_TIMEOUT_S = {"rollout": 700, "single": 700, "train": 900,
-                     "batch4": 1300}
+# Per-child wall budgets (compile + measure in ONE process). Cold-cache
+# observations on a healthy tunnel: rollout compile ~480 s, train
+# compile ~290 s, single ~150 s incremental, batch4 ~250 s incremental.
+CHILD_BUDGET_S = {"infer": 1250, "train": 900, "retry": 700}
+# In-child cost estimates used to decide whether to start the NEXT prog
+# with the remaining child budget (skipped progs are retried in a later
+# child if the global deadline allows).
+PROG_EST_S = {"rollout": 1100, "single": 260, "batch4": 380, "train": 850}
 # Secondary metrics run only while this much wall clock (from process
 # start) remains un-spent; the PRIMARY ignores it (it is bounded by its
-# own subprocess timeouts).  r03 post-mortem: the driver's outer timeout
-# killed the process after ~35 min with the rollout already measured —
-# the deadline makes us print-then-improve instead of print-at-the-end.
-DEADLINE_S = float(os.environ.get("PANGU_BENCH_DEADLINE_S", 3300))
+# own child budget).  r03/r04 post-mortem: the driver's outer timeout
+# killed the process at ~28-30 min; print-then-improve, never
+# print-at-the-end.
+DEADLINE_S = float(os.environ.get("PANGU_BENCH_DEADLINE_S", 1560))
 
 _METRIC = "pangu24_forward_step_latency"
 _T_START = time.monotonic()
@@ -110,63 +125,63 @@ def probe_backend(timeout_s: float) -> str | None:
     return None
 
 
-def _run_child(mode: str, prog: str, timeout_s: float):
-    """Run one --warm/--measure child, bounded. Returns (ok, value|None,
-    failure_str|None)."""
+def _run_streaming_child(progs: list[str], budget_s: float,
+                         results: dict) -> str | None:
+    """Run one child over `progs` (compile+measure per prog, in order),
+    updating `results` and RE-EMITTING the cumulative JSON line as each
+    value streams in.  Returns None if every requested prog landed, else
+    a short failure string.  The child's stderr passes straight through.
+    """
+    want = [p for p in progs if p not in results]
+    if not want:
+        return None
     t0 = time.monotonic()
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-u", __file__, f"--{mode}", prog],
-            capture_output=True, text=True, timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        _log(f"{mode} {prog}: timed out ({timeout_s:.0f}s)")
-        return False, None, f"{prog} {mode} timed out after {timeout_s:.0f}s"
-    dt = time.monotonic() - t0
-    if proc.returncode != 0:
-        _log(f"{mode} {prog}: rc={proc.returncode} ({dt:.0f}s)")
-        sys.stderr.write(proc.stdout[-1500:] + proc.stderr[-2500:] + "\n")
-        return False, None, f"{prog} {mode} rc={proc.returncode}"
-    if mode == "warm":
-        _log(f"warm {prog}: ok ({dt:.0f}s)")
-        return True, None, None
-    line = next((ln for ln in proc.stdout.splitlines()
-                 if ln.startswith('{"value"')), None)
-    if line is None:
-        _log(f"measure {prog}: rc=0 but no value line ({dt:.0f}s)")
-        return False, None, f"{prog} measure produced no value"
-    val = json.loads(line)["value"]
-    _log(f"measure {prog}: {val:.2f} ms ({dt:.0f}s)")
-    return True, val, None
+    proc = subprocess.Popen(
+        [sys.executable, "-u", __file__, "--run", ",".join(want),
+         "--budget", str(int(budget_s))],
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+    q: queue.Queue = queue.Queue()
 
+    def _reader():
+        assert proc.stdout is not None
+        for ln in proc.stdout:
+            q.put(ln)
+        q.put(None)
 
-def _warm_and_measure(prog: str, results: dict, budget_cap: float | None,
-                      tries: int = 2) -> str | None:
-    """Warm then measure one program, each in a bounded subprocess.
-    Returns None on success (results updated) else a failure string."""
-    warm_budget = WARM_TIMEOUT_S if budget_cap is None else min(
-        WARM_TIMEOUT_S, budget_cap)
-    ok, _, fail = _run_child("warm", prog, warm_budget)
-    if not ok and probe_backend(120) is None:
-        return f"backend lost during {prog} warm-up ({fail})"
-    # warm failures are non-fatal: every compile that completed persists
-    # in the cache, and the measure attempt warms the remainder itself
-    last = None
-    for attempt in range(tries):
-        budget = MEASURE_TIMEOUT_S[prog]
-        if budget_cap is not None:
-            budget = min(budget, _remaining())
-            if budget < 60:
-                return f"{prog}: deadline exhausted before measure"
-        ok, val, fail = _run_child("measure", prog, budget)
-        if ok:
-            results[prog] = val
-            return None
-        last = fail
-        if attempt + 1 < tries and probe_backend(120) is None:
-            return f"backend lost mid-run ({last}); re-probe timed out"
-        if budget_cap is not None and _remaining() < 120:
+    th = threading.Thread(target=_reader, daemon=True)
+    th.start()
+    eof = False
+    while True:
+        left = budget_s - (time.monotonic() - t0)
+        if left <= 0:
             break
-    return last
+        try:
+            ln = q.get(timeout=min(left, 10.0))
+        except queue.Empty:
+            continue
+        if ln is None:
+            eof = True
+            break
+        ln = ln.strip()
+        if not ln.startswith("{"):
+            continue
+        try:
+            rec = json.loads(ln)
+        except ValueError:
+            continue
+        if "prog" in rec and rec.get("value") is not None:
+            results[rec["prog"]] = float(rec["value"])
+            _log(f"{rec['prog']}: {rec['value']:.2f} ms "
+                 f"(t={time.monotonic() - _T_START:.0f}s)")
+            _emit(results)
+    if not eof:
+        _log(f"child {progs}: budget {budget_s:.0f}s exhausted; killing")
+        proc.kill()
+    rc = proc.wait()
+    missing = [p for p in want if p not in results]
+    if not missing:
+        return None
+    return f"{'/'.join(missing)} missing (child rc={rc})"
 
 
 def main_with_retries() -> int:
@@ -185,27 +200,44 @@ def main_with_retries() -> int:
 
     results: dict = {}
 
-    # ---- PRIMARY: rollout. Warm, measure, PRINT. Nothing may run
-    # before this line lands on stdout. -----------------------------------
-    fail = _warm_and_measure("rollout", results, budget_cap=None)
-    if fail is not None:
-        _emit(results, error=f"primary rollout measurement failed ({fail})")
-        return 0
-    _emit(results)
+    # ---- Child 1: the inference trio in ONE process (rollout is the
+    # PRIMARY and streams first; single/batch4 reuse the live setup and
+    # are skipped by the child itself if its budget runs short). -------
+    fail = _run_streaming_child(["rollout", "single", "batch4"],
+                                CHILD_BUDGET_S["infer"], results)
+    if "rollout" not in results:
+        if probe_backend(120) is None:
+            _emit(results, error=f"backend lost during rollout ({fail})")
+            return 0
+        _log("rollout missing after child 1; one bounded retry")
+        fail = _run_streaming_child(["rollout"],
+                                    min(CHILD_BUDGET_S["infer"],
+                                        max(_remaining(), 300)), results)
+        if "rollout" not in results:
+            _emit(results, error=f"primary rollout failed ({fail})")
+            return 0
 
-    # ---- SECONDARIES: best-effort under the global deadline; the JSON
-    # line is re-printed (complete schema) after each success. ------------
-    for prog in ("single", "train", "batch4"):
-        rem = _remaining()
-        if rem < 180:
-            _log(f"skipping {prog}: {rem:.0f}s left under deadline")
-            break
-        fail = _warm_and_measure(prog, results, budget_cap=rem)
-        if fail is None:
-            _emit(results)
-        elif "backend lost" in (fail or ""):
-            _log(f"stopping secondaries: {fail}")
-            break
+    # ---- Child 2: the train step (own process: ~12 GiB peak). --------
+    rem = _remaining()
+    if rem > 180:
+        fail = _run_streaming_child(["train"],
+                                    min(CHILD_BUDGET_S["train"], rem),
+                                    results)
+        if fail is not None:
+            _log(f"train child: {fail}")
+    else:
+        _log(f"skipping train: {rem:.0f}s left under deadline")
+
+    # ---- Child 3: retry anything the inference child had to skip. ----
+    missing = [p for p in ("single", "batch4") if p not in results]
+    rem = _remaining()
+    if missing and rem > 180 and probe_backend(120) is not None:
+        fail = _run_streaming_child(missing,
+                                    min(CHILD_BUDGET_S["retry"], rem),
+                                    results)
+        if fail is not None:
+            _log(f"retry child: {fail}")
+
     # final re-print so a clean exit always ENDS stdout with the complete
     # JSON line (a last-line-only parser would otherwise see whatever
     # stderr interleaved after the last success)
@@ -256,7 +288,7 @@ def _cache_config(jax) -> None:
 
 
 def _setup(need_rollout: bool = True):
-    """Shared model/rollout construction for warm and measurement modes."""
+    """Shared model/rollout construction for the measurement children."""
     import jax
 
     _cache_config(jax)
@@ -344,86 +376,92 @@ def _make_train(jax):
     return step, state, batch
 
 
-def warm(prog: str):
-    """Compile + run ONE of the timed programs so its executable lands in
-    the persistent cache; bounded by the parent."""
-    if prog == "train":
-        import jax
-        _cache_config(jax)
-        step, state, batch = _make_train(jax)
-        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+def _emit_value(prog: str, val: float) -> None:
+    print(json.dumps({"prog": prog, "value": val}), flush=True)
+
+
+def _measure_train() -> float:
+    import jax
+    _cache_config(jax)
+    step, state, batch = _make_train(jax)
+    times = []
+    for i in range(8):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, jax.random.PRNGKey(10 + i))
         jax.block_until_ready(metrics)
-        return
-    jax, cfg, params, constants, roll, fresh = _setup(
-        need_rollout=prog in ("rollout", "batch4"))
-    if prog == "rollout":
-        jax.block_until_ready(roll(params, *fresh(0)))
-    elif prog == "single":
-        step = _make_single_step(jax, cfg, params, constants)
-        jax.block_until_ready(step(*fresh(100)))
-    elif prog == "batch4":
-        jax.block_until_ready(roll(params, *fresh(5000, batch=4)))
-    else:
-        raise SystemExit(f"unknown warm target {prog!r}")
+        times.append((time.perf_counter() - t0) * 1e3)
+    # first iters include compile/cache-load; the evolving optimizer
+    # state chains the rest (no dispatch caching possible). Median of
+    # the last 5 rides out the known allocator-stall outliers.
+    tail = sorted(times[3:])
+    sys.stderr.write(f"[bench] train times: "
+                     f"{[round(t, 1) for t in times]}\n")
+    return tail[len(tail) // 2]
 
 
-def measure(prog: str):
-    """Measure ONE metric (per-step ms) from a warm compile cache and
-    print a tiny {"value": N} JSON line; bounded by the parent."""
-    if prog == "train":
-        import jax
-        _cache_config(jax)
-        step, state, batch = _make_train(jax)
-        times = []
-        for i in range(8):
-            t0 = time.perf_counter()
-            state, metrics = step(state, batch, jax.random.PRNGKey(10 + i))
-            jax.block_until_ready(metrics)
-            times.append((time.perf_counter() - t0) * 1e3)
-        # first iters include compile/cache-load; the evolving optimizer
-        # state chains the rest (no dispatch caching possible). Median of
-        # the last 5 rides out the known allocator-stall outliers.
-        tail = sorted(times[3:])
-        val = tail[len(tail) // 2]
-        sys.stderr.write(f"[bench] train times: "
-                         f"{[round(t, 1) for t in times]}\n")
-        print(json.dumps({"value": val}))
-        return
+def run_progs(progs: list[str], budget_s: float) -> int:
+    """Compile AND measure each prog in order inside THIS process,
+    printing a {"prog", "value"} JSON line per success.  Later progs are
+    skipped (not attempted) when the remaining in-process budget is
+    below their cost estimate — the parent retries them in a fresh child
+    if the global deadline allows."""
+    t0 = time.monotonic()
+
+    def left() -> float:
+        return budget_s - (time.monotonic() - t0)
+
+    if progs == ["train"]:
+        # train runs alone: nothing else may share its ~12 GiB process
+        _emit_value("train", _measure_train())
+        return 0
+    if "train" in progs:
+        raise SystemExit("--run train must not be combined with other progs")
 
     jax, cfg, params, constants, roll, fresh = _setup(
-        need_rollout=prog in ("rollout", "batch4"))
+        need_rollout=bool({"rollout", "batch4"} & set(progs)))
 
-    if prog == "rollout":
-        jax.block_until_ready(roll(params, *fresh(0)))
-        rollfn = lambda u, s: roll(params, u, s)
-        val = _best_valid(_timed(rollfn, fresh, 3, STEPS),
-                          lambda: _timed(rollfn, fresh, 5, STEPS), "rollout")
-    elif prog == "single":
-        # COLD single 24h step (BASELINE.json config 1): includes patch
-        # embed + recovery, which the token-space rollout legitimately
-        # amortises away. Fresh inputs every call: no dispatch caching.
-        step = _make_single_step(jax, cfg, params, constants)
-        jax.block_until_ready(step(*fresh(100)))
-        val = _best_valid(_timed(step, fresh, 3, 1.0),
-                          lambda: _timed(step, fresh, 5, 1.0), "single")
-    elif prog == "batch4":
-        rollfn = lambda u, s: roll(params, u, s)
-        fresh_b = lambda seed: fresh(seed + 5000, batch=4)
-        jax.block_until_ready(roll(params, *fresh_b(0)))
-        val = _best_valid(_timed(rollfn, fresh_b, 2, STEPS),
-                          lambda: _timed(rollfn, fresh_b, 3, STEPS), "batch4")
-    else:
-        raise SystemExit(f"unknown measure target {prog!r}")
-
-    if val is None:
-        raise SystemExit(f"no valid {prog} timing samples")
-    print(json.dumps({"value": val}))
+    first = True
+    for prog in progs:
+        if not first and left() < PROG_EST_S.get(prog, 300):
+            sys.stderr.write(f"[bench-child] skipping {prog}: "
+                             f"{left():.0f}s left of {budget_s:.0f}s\n")
+            continue
+        first = False
+        if prog == "rollout":
+            jax.block_until_ready(roll(params, *fresh(0)))
+            rollfn = lambda u, s: roll(params, u, s)
+            val = _best_valid(
+                _timed(rollfn, fresh, 3, STEPS),
+                lambda: _timed(rollfn, fresh, 5, STEPS), "rollout")
+        elif prog == "single":
+            # COLD single 24h step (BASELINE.json config 1): includes
+            # patch embed + recovery, which the token-space rollout
+            # legitimately amortises. Fresh inputs: no dispatch caching.
+            step = _make_single_step(jax, cfg, params, constants)
+            jax.block_until_ready(step(*fresh(100)))
+            val = _best_valid(_timed(step, fresh, 3, 1.0),
+                              lambda: _timed(step, fresh, 5, 1.0), "single")
+        elif prog == "batch4":
+            rollfn = lambda u, s: roll(params, u, s)
+            fresh_b = lambda seed: fresh(seed + 5000, batch=4)
+            jax.block_until_ready(roll(params, *fresh_b(0)))
+            val = _best_valid(
+                _timed(rollfn, fresh_b, 2, STEPS),
+                lambda: _timed(rollfn, fresh_b, 3, STEPS), "batch4")
+        else:
+            raise SystemExit(f"unknown prog {prog!r}")
+        if val is None:
+            sys.stderr.write(f"[bench-child] {prog}: no valid samples\n")
+        else:
+            _emit_value(prog, val)
+    return 0
 
 
 if __name__ == "__main__":
-    if "--warm" in sys.argv:
-        warm(sys.argv[sys.argv.index("--warm") + 1])
-    elif "--measure" in sys.argv:
-        measure(sys.argv[sys.argv.index("--measure") + 1])
+    if "--run" in sys.argv:
+        _progs = sys.argv[sys.argv.index("--run") + 1].split(",")
+        _budget = (float(sys.argv[sys.argv.index("--budget") + 1])
+                   if "--budget" in sys.argv else 1e9)
+        sys.exit(run_progs(_progs, _budget))
     else:
         sys.exit(main_with_retries())

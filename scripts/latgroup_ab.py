@@ -1,8 +1,9 @@
 """A/B: lat-grouped interior wm kernels (gh windows/program) on a full
 wm-io stage chain, same process, chained inputs.
-Usage: python scripts/latgroup_ab.py [stage=1] [n_blocks=12] [gh=4]
-``gh`` may be a comma list ("2,4") to compare several groupings; the
-first value is the equivalence anchor for the maxdiff check.
+Usage: python scripts/latgroup_ab.py [stage=1] [n_blocks=12] [ghs=1,4]
+``ghs`` is a comma list of groupings to compare; gh=1 (the ungrouped
+kernel) is always included as the equivalence anchor for the maxdiff
+check — it is prepended automatically if omitted from the list.
 """
 
 import os as _os
@@ -32,6 +33,11 @@ def main():
     n_blocks = int(sys.argv[2]) if len(sys.argv) > 2 else 12
     ghs = ([int(g) for g in sys.argv[3].split(",")]
            if len(sys.argv) > 3 else [1, 4])
+    if 1 not in ghs:
+        # gh=1 is the ungrouped ground truth; without it the maxdiff
+        # check would anchor on a grouped variant and a bug shared by
+        # all grouped kernels would pass silently.
+        ghs = [1] + ghs
 
     cfg = PANGU_24
     geom = cfg.stage(stage_idx)
