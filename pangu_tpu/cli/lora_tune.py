@@ -61,7 +61,25 @@ def main(argv=None):
     # host snapshot for the post-train audit (device buffers get donated)
     init_snapshot = jax.tree.map(np.asarray, params)
     params = jax.device_put(params, S.param_shardings(mesh, params))
-    logger.info(f"LoRA attached: rank={rank} alpha={cfg.train.lora_alpha}")
+    logger.info(f"LoRA attached: rank={rank} alpha={cfg.train.lora_alpha} "
+                f"dropout={cfg.train.lora_dropout}")
+    # Say which compute path the step will take — the cost difference is
+    # large and depends on lora_dropout (pangu.forward:522-535).
+    if cfg.model.attn_impl == "pallas" and cfg.model.lora_fused:
+        if cfg.train.lora_dropout > 0:
+            logger.warning(
+                "lora_dropout=%.3g keeps TRAINING on the UNMERGED XLA "
+                "path (the merged fast path through the fused kernels is "
+                "exact only with the LoRA-branch dropout off): expect "
+                "~3-4x the full-tune step cost. Pass --set "
+                "train.lora_dropout=0 for the fused fast path (~1.0x "
+                "full-tune, 630.9 ms/step full-geometry on v5e); "
+                "evaluation always uses the merged fast path.",
+                cfg.train.lora_dropout)
+        else:
+            logger.info(
+                "lora_dropout=0: training runs MERGED through the fused "
+                "kernels (~1.0x the full-tune step)")
 
     _, loaders = common.make_loaders(cfg, args.synthetic, mesh)
     tx = T.make_optimizer(cfg.train, max(len(loaders["train"]), 1),
