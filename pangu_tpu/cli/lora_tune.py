@@ -57,25 +57,36 @@ def main(argv=None):
     import numpy as np
     params = lora.init_lora(jax.random.PRNGKey(cfg.train.seed), base,
                             rank=rank, alpha=cfg.train.lora_alpha,
-                            dropout=cfg.train.lora_dropout)
+                            dropout=cfg.train.lora_dropout,
+                            dropout_mode=cfg.train.lora_dropout_mode)
     # host snapshot for the post-train audit (device buffers get donated)
     init_snapshot = jax.tree.map(np.asarray, params)
     params = jax.device_put(params, S.param_shardings(mesh, params))
     logger.info(f"LoRA attached: rank={rank} alpha={cfg.train.lora_alpha} "
-                f"dropout={cfg.train.lora_dropout}")
+                f"dropout={cfg.train.lora_dropout} "
+                f"mode={cfg.train.lora_dropout_mode}")
     # Say which compute path the step will take — the cost difference is
-    # large and depends on lora_dropout (pangu.forward:522-535).
+    # large and depends on lora_dropout/mode (pangu.forward:522-541).
     if cfg.model.attn_impl == "pallas" and cfg.model.lora_fused:
-        if cfg.train.lora_dropout > 0:
+        if (cfg.train.lora_dropout > 0
+                and cfg.train.lora_dropout_mode == "element"):
             logger.warning(
-                "lora_dropout=%.3g keeps TRAINING on the UNMERGED XLA "
-                "path (the merged fast path through the fused kernels is "
-                "exact only with the LoRA-branch dropout off): expect "
-                "~3-4x the full-tune step cost. Pass --set "
-                "train.lora_dropout=0 for the fused fast path (~1.0x "
-                "full-tune, 630.9 ms/step full-geometry on v5e); "
-                "evaluation always uses the merged fast path.",
+                "lora_dropout=%.3g mode=element (peft-exact per-token "
+                "masks) keeps TRAINING on the UNMERGED XLA path — the "
+                "token-varying mask has no merged-weight form, so the "
+                "fused kernels cannot run it: expect ~3-4x the full-tune "
+                "step cost. Options: --set train.lora_dropout_mode="
+                "feature (token-constant feature mask, folds into the "
+                "per-step merge EXACTLY, keeps the fused fast path at "
+                "~1.0x full-tune) or --set train.lora_dropout=0. "
+                "Evaluation always uses the merged fast path.",
                 cfg.train.lora_dropout)
+        elif cfg.train.lora_dropout > 0:
+            logger.info(
+                "lora_dropout=%.3g mode=feature: the per-step feature "
+                "mask folds into the merge exactly — training runs "
+                "MERGED through the fused kernels (~1.0x the full-tune "
+                "step)", cfg.train.lora_dropout)
         else:
             logger.info(
                 "lora_dropout=0: training runs MERGED through the fused "

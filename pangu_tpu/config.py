@@ -116,9 +116,11 @@ class ModelConfig:
                                 # weights; grads reach A/B through the
                                 # merge by autodiff. Exact vs the
                                 # unmerged form when the LoRA-branch
-                                # dropout is off (always in eval); with
-                                # lora_dropout > 0 training falls back
-                                # to the unmerged XLA path
+                                # dropout is off (always in eval) or in
+                                # feature mode (token-constant mask,
+                                # folded into the merge exactly); only
+                                # ELEMENT-mode lora_dropout > 0 training
+                                # falls back to the unmerged XLA path
     gelu: str = "erf"           # "erf" (exact, torch nn.GELU parity) |
                                 # "tanh" (approximate GELU, max |err|
                                 # 4.7e-4 — 8x below a bf16 ulp at 1.0;
@@ -292,6 +294,16 @@ class TrainConfig:
     lora_rank: int = 16
     lora_alpha: float = 16.0
     lora_dropout: float = 0.1
+    lora_dropout_mode: str = "element"  # "element": peft-exact per-token
+                                # masks (nn.Dropout on the branch input,
+                                # lora_tune.py:133) — no merged-weight
+                                # form, so fused training falls back to
+                                # the unmerged XLA path.  "feature": one
+                                # token-constant mask over the branch's
+                                # input features per step — merges
+                                # exactly, so training keeps the fused
+                                # fast path at ~1.0x the full-tune step
+                                # (models/lora.py::init_lora)
 
 
 @dataclasses.dataclass(frozen=True)

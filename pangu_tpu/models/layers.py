@@ -60,6 +60,13 @@ def dense(p, x, precision=None, *, rng=None):
             mask = jax.random.bernoulli(rng, keep, x2.shape)
             xl = jnp.where(mask, x2 / keep.astype(x.dtype),
                            jnp.zeros_like(x2))
+        elif rng is not None and "lora_drop_feat" in p:
+            # feature mode: one mask over input features, shared across
+            # tokens (token-constant => exactly mergeable, models/lora.py)
+            keep = 1.0 - p["lora_drop_feat"]
+            mask = jax.random.bernoulli(rng, keep, (1, x2.shape[-1]))
+            xl = jnp.where(mask, x2 / keep.astype(x.dtype),
+                           jnp.zeros_like(x2))
         lo = jnp.dot(jnp.dot(xl, p["lora_a"].astype(x.dtype),
                              precision=precision),
                      p["lora_b"].astype(x.dtype), precision=precision)

@@ -29,7 +29,12 @@ LINEAR_SITES: Tuple[str, ...] = ("qkv", "proj", "fc1", "fc2",
 # fully-trained extra modules (peft modules_to_save, lora_tune.py:134)
 MODULES_TO_SAVE: Tuple[str, ...] = ("patch_recovery",)
 
-LORA_KEYS = ("lora_a", "lora_b", "lora_scale", "lora_drop")
+LORA_KEYS = ("lora_a", "lora_b", "lora_scale", "lora_drop",
+             "lora_drop_feat")
+
+# fold_in tag deriving the per-step feature-dropout key from the forward
+# rng (distinct from the drop-path streams, which use split())
+_FEAT_DROP_TAG = 0x10A
 
 
 def _is_dense(node) -> bool:
@@ -73,13 +78,32 @@ def _get(tree, path):
 
 
 def init_lora(rng, params, *, rank: int = 16, alpha: float = 16.0,
-              dropout: float = 0.0) -> Dict:
+              dropout: float = 0.0,
+              dropout_mode: str = "element") -> Dict:
     """Attach LoRA leaves to every target dense dict (in place on a copied
     tree). A ~ kaiming-uniform, B = 0 so the initial model is unchanged —
-    the same init contract peft uses. ``dropout`` > 0 stores a
-    ``lora_drop`` rate leaf; ``layers.dense`` applies it to the LoRA-branch
-    input during training (peft LoraConfig(lora_dropout=...) semantics,
-    finetune/lora_tune.py:133)."""
+    the same init contract peft uses.
+
+    ``dropout`` > 0 regularises the LoRA branch input during training.
+    Two modes:
+
+    * ``"element"`` — per-token, per-feature Bernoulli mask, bit-matching
+      peft's ``LoraConfig(lora_dropout=...)`` (``nn.Dropout`` on the
+      branch input, finetune/lora_tune.py:133).  The mask varies per
+      token, so ``x@W + s·drop(x)@A@B`` has no merged-weight form — the
+      fused whole-block kernels cannot run it and training falls back to
+      the unmerged XLA path.  Stores a ``lora_drop`` rate leaf.
+    * ``"feature"`` — one Bernoulli mask over the branch's INPUT FEATURES
+      per step, shared across tokens (the spatial/1d-feature-dropout
+      variant of the same regulariser).  Because the mask is constant
+      over tokens it commutes into weight space exactly:
+      ``drop(x)@A = x@(diag(m)/keep · A)``, so the per-step merge
+      ``W + s·(diag(m)/keep·A)@B`` is EXACT and the fused fast path keeps
+      running (see :func:`merge_lora` with ``rng``).  Stores a
+      ``lora_drop_feat`` rate leaf."""
+    if dropout_mode not in ("element", "feature"):
+        raise ValueError(f"dropout_mode must be 'element' or 'feature', "
+                         f"got {dropout_mode!r}")
     params = jax.tree.map(lambda x: x, params)  # shallow structural copy
     for path in _dense_sites(params):
         site = _get(params, path)
@@ -93,7 +117,9 @@ def init_lora(rng, params, *, rank: int = 16, alpha: float = 16.0,
         site["lora_scale"] = jnp.asarray(alpha / rank,
                                          site["kernel"].dtype)
         if dropout > 0.0:
-            site["lora_drop"] = jnp.asarray(dropout, jnp.float32)
+            key = ("lora_drop" if dropout_mode == "element"
+                   else "lora_drop_feat")
+            site[key] = jnp.asarray(dropout, jnp.float32)
     return params
 
 
@@ -118,16 +144,19 @@ def has_lora(params) -> bool:
     return bool(found)
 
 
-def has_lora_dropout(params) -> bool:
-    """True when any site stores a ``lora_drop`` rate (the merged fast
-    path is exact only without the LoRA-branch dropout)."""
+def has_lora_dropout(params, key: str = "lora_drop") -> bool:
+    """True when any site stores the given dropout-rate leaf.  The default
+    ``"lora_drop"`` (element mode) is the variant WITHOUT a merged-weight
+    form — it forces training off the fused fast path.  Pass
+    ``"lora_drop_feat"`` to detect the feature-mode rate, which merges
+    exactly (:func:`merge_lora` with ``rng``)."""
     found = []
 
     def rec(node):
         if found:
             return
         if isinstance(node, dict):
-            if "lora_drop" in node:
+            if key in node:
                 found.append(True)
                 return
             for v in node.values():
@@ -140,7 +169,7 @@ def has_lora_dropout(params) -> bool:
     return bool(found)
 
 
-def merge_lora(params) -> Dict:
+def merge_lora(params, rng: Optional[jax.Array] = None) -> Dict:
     """Fold LoRA factors into the base kernels and strip the extra leaves
     (merged-weight export).
 
@@ -150,16 +179,33 @@ def merge_lora(params) -> Dict:
     autodiff (dA = dW_eff @ Bᵀ·s, dB = Aᵀ @ dW_eff·s) while the base
     kernels stay frozen by the optimizer mask.  Exact (mod rounding) vs
     the unmerged two-matmul form whenever the LoRA-branch dropout is off:
-    y = x@(W + s·A@B) == x@W + s·(x@A)@B."""
+    y = x@(W + s·A@B) == x@W + s·(x@A)@B.
+
+    ``rng``: when given AND a site stores a feature-mode dropout rate
+    (``lora_drop_feat``, init_lora(dropout_mode="feature")), the per-step
+    feature mask is drawn here and folded into the merge EXACTLY:
+    drop(x)@A == x@(diag(m)/keep·A) because the mask is token-constant.
+    Element-mode rates (``lora_drop``) have no merged form and are
+    ignored by design — callers gate on :func:`has_lora_dropout` first.
+    Export/inference callers omit ``rng`` (dropout off, plain merge)."""
     merged = jax.tree.map(lambda x: x, params)
+    site_idx = [0]
 
     def rec(node):
         if _is_dense(node) and "lora_a" in node:
+            a = node["lora_a"]
+            if rng is not None and "lora_drop_feat" in node:
+                keep = 1.0 - node["lora_drop_feat"]
+                k = jax.random.fold_in(
+                    jax.random.fold_in(rng, _FEAT_DROP_TAG), site_idx[0])
+                m = jax.random.bernoulli(k, keep, (a.shape[0], 1))
+                a = jnp.where(m, a / keep.astype(a.dtype),
+                              jnp.zeros_like(a))
+            site_idx[0] += 1
             node["kernel"] = (node["kernel"]
-                              + (node["lora_a"] @ node["lora_b"])
-                              * node["lora_scale"])
+                              + (a @ node["lora_b"]) * node["lora_scale"])
             for k in LORA_KEYS:
-                node.pop(k, None)   # lora_drop only exists when dropout>0
+                node.pop(k, None)   # drop leaves only exist when dropout>0
         elif isinstance(node, dict):
             for v in node.values():
                 rec(v)

@@ -526,13 +526,21 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
         # dense sites; lora_a/lora_b still receive gradients through the
         # merge (base kernels stay frozen by the optimizer mask). Exact
         # vs the unmerged two-matmul form except for the LoRA-branch
-        # dropout, which only exists in training with lora_dropout > 0 —
-        # that configuration keeps the unmerged XLA path.
+        # dropout.  Element-mode dropout (peft-exact per-token masks,
+        # lora_drop) has no merged form — that configuration keeps the
+        # unmerged XLA path.  Feature-mode dropout (lora_drop_feat,
+        # init_lora(dropout_mode="feature")) is token-constant and merges
+        # EXACTLY — the per-step mask is drawn inside merge_lora from a
+        # fold_in of the step rng, leaving the drop-path streams (which
+        # use split()) untouched.
         from pangu_tpu.models.lora import (has_lora, has_lora_dropout,
                                            merge_lora)
         if has_lora(params) and (deterministic
                                  or not has_lora_dropout(params)):
-            params = merge_lora(params)
+            drop_rng = (rng if not deterministic
+                        and has_lora_dropout(params, "lora_drop_feat")
+                        else None)
+            params = merge_lora(params, rng=drop_rng)
 
     if (deterministic and taps is None and precision is None
             and cfg.edge_kernels and wm_core_supported(params, cfg)):

@@ -154,6 +154,75 @@ def test_lora_dropout_applied_in_training():
     assert not s["lora_drop"] and not s["lora_scale"]
 
 
+def test_lora_feature_dropout_merges_exactly():
+    """Feature-mode dropout (token-constant mask over the branch's input
+    features) commutes into weight space: merge_lora(params, rng) must
+    equal W + s·(diag(m)/keep·A)@B with the mask re-derived from the same
+    fold_in scheme — the exactness that keeps fused training on the
+    merged fast path (models/lora.py::init_lora dropout_mode docs)."""
+    base = pangu.init_params(jax.random.PRNGKey(0), CFG)
+    lp = lora.init_lora(jax.random.PRNGKey(1), base, dropout=0.5,
+                        dropout_mode="feature")
+    # feature mode stores lora_drop_feat, not the element-mode leaf
+    site = lp["stages"][0]["blocks"][0]["attn"]["qkv"]
+    assert "lora_drop_feat" in site and "lora_drop" not in site
+    assert not lora.has_lora_dropout(lp)            # element-mode check
+    assert lora.has_lora_dropout(lp, "lora_drop_feat")
+
+    rng = jax.random.PRNGKey(7)
+    merged = lora.merge_lora(lp, rng=rng)
+    sites = lora._dense_sites(lp)
+    for idx in (0, len(sites) - 1):                 # first + last site
+        p = lora._get(lp, sites[idx])
+        keep = 1.0 - p["lora_drop_feat"]
+        k = jax.random.fold_in(
+            jax.random.fold_in(rng, lora._FEAT_DROP_TAG), idx)
+        m = jax.random.bernoulli(k, keep, (p["lora_a"].shape[0], 1))
+        a = jnp.where(m, p["lora_a"] / keep, 0.0)
+        want = p["kernel"] + (a @ p["lora_b"]) * p["lora_scale"]
+        got = lora._get(merged, sites[idx])["kernel"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+        # and the merged weight acts like dropping input features of the
+        # branch: x @ W_eff == x@W + s·(drop(x)@A)@B for token-constant m
+        x = jnp.asarray(np.random.default_rng(3).normal(
+            size=(5, p["kernel"].shape[0])).astype(np.float32))
+        xd = jnp.where(m.T, x / keep, 0.0)
+        y_branch = (x @ p["kernel"]
+                    + (xd @ p["lora_a"] @ p["lora_b"]) * p["lora_scale"])
+        np.testing.assert_allclose(np.asarray(x @ got),
+                                   np.asarray(y_branch), atol=1e-5)
+    # without rng (export path) the merge ignores dropout entirely
+    plain = lora.merge_lora(lp)
+    p0 = lora._get(lp, sites[0])
+    np.testing.assert_allclose(
+        np.asarray(lora._get(plain, sites[0])["kernel"]),
+        np.asarray(p0["kernel"]
+                   + (p0["lora_a"] @ p0["lora_b"]) * p0["lora_scale"]),
+        atol=1e-6)
+
+
+def test_lora_feature_dropout_training_step_runs():
+    """Full train step with feature-mode dropout: runs, is finite, and
+    updates the LoRA factors while the base stays frozen."""
+    consts, base, batch = _problem()
+    params = lora.init_lora(jax.random.PRNGKey(1), base, dropout=0.2,
+                            dropout_mode="feature")
+    tcfg = TrainConfig(batch_size=1, lora_dropout=0.2,
+                       lora_dropout_mode="feature")
+    tx = T.make_optimizer(tcfg, 1,
+                          trainable_mask=lora.trainable_mask(params))
+    state = T.create_train_state(params, tx)
+    step = T.make_train_step(CFG, tcfg, consts, tx)
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    qkv0 = state.params["stages"][0]["blocks"][0]["attn"]["qkv"]
+    base0 = base["stages"][0]["blocks"][0]["attn"]["qkv"]
+    assert np.allclose(np.asarray(qkv0["kernel"]),
+                       np.asarray(base0["kernel"]))   # base frozen
+    assert not np.allclose(np.asarray(qkv0["lora_b"]), 0.0)  # B moved
+
+
 def test_lora_dropout_training_step_runs():
     """A full train step through the model with lora_drop leaves present
     (non-deterministic path threads rngs to every LoRA site)."""
