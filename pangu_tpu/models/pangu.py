@@ -388,23 +388,53 @@ def wm_core_supported(params, cfg: ModelConfig) -> bool:
 
 
 def wm_core_mesh(cfg: ModelConfig):
-    """The active mesh when the all-wm trunk can run per (dp, sp) shard:
-    requires dp/sp axes, tp absent or 1, and every stage's longitude
-    windows divisible by sp. Returns None otherwise (or single-device)."""
+    """The active mesh when the all-wm trunk can run per (dp, sp, tp)
+    shard: requires dp/sp axes, every stage's longitude windows divisible
+    by sp, and — when tp > 1 — every stage's Z windows divisible by tp
+    (the tp axis shards Z windows, and with them the z-type-major
+    earth-specific bias tables, ~87% of all parameters; the shifted
+    blocks' z-roll becomes a one-z-row ppermute halo, exactly like sp's
+    lon halo). Returns None otherwise (or single-device)."""
     mesh = jax.sharding.get_abstract_mesh()
     shape = dict(getattr(mesh, "shape", {}) or {})
     if not shape or all(s == 1 for s in shape.values()):
         return None
-    if not {"dp", "sp"} <= set(shape) or shape.get("tp", 1) != 1:
+    if not {"dp", "sp"} <= set(shape):
         return None
     sp = shape["sp"]
     if any(cfg.stage(i).num_lon_windows % sp for i in range(4)):
         return None
+    tp = shape.get("tp", 1)
+    if tp > 1:
+        wz = cfg.window[0]
+        if any((cfg.stage(i).z // wz) % tp for i in range(4)):
+            return None
+        if any(cfg.stage(i).z % wz for i in range(4)):
+            return None
     return mesh
 
 
+def _wm_param_specs(params, tp: int):
+    """shard_map in/out specs for the params pytree on the wm trunk:
+    bias tables — z-type-major axis 0, ~87% of all parameters — shard
+    over tp with the z windows; everything else rides replicated (the
+    non-table weights total ~2% of the bytes)."""
+    from jax.sharding import PartitionSpec as P
+    if tp <= 1:
+        return P()
+
+    def spec(path, leaf):
+        names = [getattr(p, "key", None) for p in path]
+        if "bias_table" in names:
+            return P("tp", None, None, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def forward_core_wm(params, xs, cfg: ModelConfig, *,
-                    sp_axis: Optional[str] = None, sp_size: int = 1):
+                    sp_axis: Optional[str] = None, sp_size: int = 1,
+                    tp_axis: Optional[str] = None, tp_size: int = 1):
     """The encoder/decoder trunk entirely in window-major storage: stage
     chains keep wm io (zero relayout), DownSample/UpSample consume the
     rolled storage directly (ops/updown_wm.py) and the stage-end rolls
@@ -429,7 +459,8 @@ def forward_core_wm(params, xs, cfg: ModelConfig, *,
     g2, g3 = cfg.stage(2), cfg.stage(3)
     kw = dict(fast_math=cfg.kernel_fast_math, chunk_target=cfg.lon_chunk,
               io_layout="wm", lat_group=cfg.lat_group,
-              sp_axis=sp_axis, sp_size=sp_size)
+              sp_axis=sp_axis, sp_size=sp_size,
+              tp_axis=tp_axis, tp_size=tp_size)
 
     skip, off0 = run_stage_wm(params["stages"][0], xs, g0, **kw)
     x = down_sample_wm(params["downsample"], skip, g0, g1, off0,
@@ -447,7 +478,8 @@ def forward_core_wm(params, xs, cfg: ModelConfig, *,
 def forward_core_wm_train(params, xs, cfg: ModelConfig, *,
                           rng: Optional[jax.Array] = None,
                           drops: Optional[list] = None,
-                          sp_axis: Optional[str] = None, sp_size: int = 1):
+                          sp_axis: Optional[str] = None, sp_size: int = 1,
+                          tp_axis: Optional[str] = None, tp_size: int = 1):
     """Training-mode encoder/decoder trunk entirely in window-major
     storage: whole-block forward+backward kernels with wm io
     (ops/earth_block_bwd.run_stage_train_wm) chained through
@@ -487,7 +519,8 @@ def forward_core_wm_train(params, xs, cfg: ModelConfig, *,
     else:
         dr = drops
     kw = dict(fast_math=cfg.kernel_fast_math, chunk_target=cfg.lon_chunk,
-              io_in="wm", io_out="wm", sp_axis=sp_axis, sp_size=sp_size)
+              io_in="wm", io_out="wm", sp_axis=sp_axis, sp_size=sp_size,
+              tp_axis=tp_axis, tp_size=tp_size)
 
     skip, off0 = run_stage_train_wm(params["stages"][0], xs, g0, dr[0], **kw)
     x = down_sample_wm_train(params["downsample"], skip, g0, g1, off0,
@@ -595,11 +628,12 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
         wm_mesh_ok = (mesh is not None
                       and x.shape[0] % dict(mesh.shape)["dp"] == 0)
         if wm_mesh_ok:
-            # >1-device mesh: run the whole wm trunk per (dp, sp) shard —
-            # pad/to_wm/stages/down/up/canon are all lon-window-local,
-            # the only cross-shard traffic is the shifted blocks' lon
-            # halo ppermute inside run_stage_wm
+            # >1-device mesh: run the whole wm trunk per (dp, sp, tp)
+            # shard — pad/to_wm/stages/down/up/canon are all lon- and
+            # z-window-local, the only cross-shard traffic is the shifted
+            # blocks' lon/z halo ppermutes inside run_stage_wm
             from jax.sharding import PartitionSpec as P
+            tp = dict(mesh.shape).get("tp", 1)
 
             def trunk(p, xc):
                 xsl = to_window_major(
@@ -608,19 +642,24 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
                                  (0, 0), (0, 0))), geom.window)
                 sk, de, off = forward_core_wm(
                     p, xsl, cfg, sp_axis="sp",
-                    sp_size=dict(mesh.shape)["sp"])
+                    sp_size=dict(mesh.shape)["sp"],
+                    tp_axis="tp" if tp > 1 else None, tp_size=tp)
 
                 def canon_l(t):
                     t = from_window_major(t, geom.window)
-                    # off has lon component 0 per-shard: local roll only
-                    return jnp.roll(t, off[:2],
-                                    axis=(1, 2))[:, :, :geom.h]
+                    # per-shard roll: the z component is 0 under tp>1
+                    # (storage-resolved) and the lon component is 0
+                    # under sp>1; under sp=1 the lon roll is local and
+                    # must still be applied (it is NOT storage-resolved)
+                    return jnp.roll(t, off,
+                                    axis=(1, 2, 3))[:, :, :geom.h]
 
                 return canon_l(sk), canon_l(de)
 
-            spec = P("dp", None, None, "sp", None)
+            spec = P("dp", "tp" if tp > 1 else None, None, "sp", None)
             skip, dec = jax.shard_map(
-                trunk, mesh=mesh, in_specs=(P(), spec),
+                trunk, mesh=mesh, in_specs=(_wm_param_specs(params, tp),
+                                            spec),
                 out_specs=(spec, spec), check_vma=False)(params, x)
             return L.patch_recovery(params["patch_recovery"],
                                     (skip, dec), cfg, precision)
@@ -666,6 +705,7 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
             dr = [_stage_drops(cfg.depths[i], rates, sum(cfg.depths[:i]),
                                rngs[i], B) for i in range(4)]
             sp_size = dict(mesh.shape)["sp"]
+            tp = dict(mesh.shape).get("tp", 1)
 
             def trunk_train(p, xc, drs):
                 xsl = to_window_major(
@@ -673,20 +713,25 @@ def forward(params, upper, surface, constants, cfg: ModelConfig, *,
                                  (0, geom.h_padded - xc.shape[2]),
                                  (0, 0), (0, 0))), geom.window)
                 sk, de, off = forward_core_wm_train(
-                    p, xsl, cfg, drops=drs, sp_axis="sp", sp_size=sp_size)
+                    p, xsl, cfg, drops=drs, sp_axis="sp", sp_size=sp_size,
+                    tp_axis="tp" if tp > 1 else None, tp_size=tp)
 
                 def canon_l(t):
                     t = from_window_major(t, geom.window)
-                    # off has lon component 0 per-shard: local roll only
-                    return jnp.roll(t, off[:2],
-                                    axis=(1, 2))[:, :, :geom.h]
+                    # per-shard roll: the z component is 0 under tp>1
+                    # (storage-resolved) and the lon component is 0
+                    # under sp>1; under sp=1 the lon roll is local and
+                    # must still be applied (it is NOT storage-resolved)
+                    return jnp.roll(t, off,
+                                    axis=(1, 2, 3))[:, :, :geom.h]
 
                 return canon_l(sk), canon_l(de)
 
-            spec = P("dp", None, None, "sp", None)
+            spec = P("dp", "tp" if tp > 1 else None, None, "sp", None)
             spec_d = jax.tree.map(lambda _: P("dp", None), dr)
             skip, dec = jax.shard_map(
-                trunk_train, mesh=mesh, in_specs=(P(), spec, spec_d),
+                trunk_train, mesh=mesh,
+                in_specs=(_wm_param_specs(params, tp), spec, spec_d),
                 out_specs=(spec, spec), check_vma=False)(params, x, dr)
             return L.patch_recovery(params["patch_recovery"],
                                     (skip, dec), cfg, precision)

@@ -79,12 +79,29 @@ def _ln_bwd(dy32, xhat, rstd, scale32):
     return dx, dscale, dbias
 
 
+def _stash_p_default(c: int) -> bool:
+    """Stash the attention probabilities in VMEM between the bwd kernel's
+    forward and backward passes instead of recomputing the s-dot +
+    softmax?  Hardware A/B (v5e, 2026-08-21, full geometry, with the
+    a/x1/y scratch overlays making it fit the 128 MB cap): stash ON
+    593-597 ms/step vs OFF 577-585 ms — the extra (nlon, n, heads*n)
+    VMEM pressure (~7.5 MB/program) costs more Mosaic pipelining than
+    the ~1.9 ms/block of skipped recompute buys, so the default is OFF.
+    The path stays test-pinned (grads == XLA under PANGU_BWD_STASH_P=on)
+    for future geometries where the trade may flip."""
+    import os
+    mode = os.environ.get("PANGU_BWD_STASH_P", "auto")
+    if mode == "on":
+        return True
+    return False
+
+
 def _make_block_bwd_kernel(heads: int, hd: int, window, nlon: int, c: int,
                            hidden: int, h_real: int, hp: int,
                            delta_x, delta_g, canon_add: int,
                            x_layout: str, g_layout: str,
                            has_mask: bool, fast_math: bool, has_drop: bool,
-                           chunk_target: Optional[int]):
+                           chunk_target: Optional[int], stash_p: bool):
     wz, wh, ww = window
     n = wz * wh * ww
     scale = hd ** -0.5
@@ -153,7 +170,14 @@ def _make_block_bwd_kernel(heads: int, hd: int, window, nlon: int, c: int,
         (dx_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref, db_ref,
          dn1s_ref, dn1b_ref, dn2s_ref, dn2b_ref,
          dw1_ref, db1_ref, dw2_ref, db2_ref) = refs[i:i + 14]
-        (qkv_s, attn_s, a_s, x1_s, z_s, y_s, da_s, dqkv_s) = refs[i + 14:]
+        scratches = refs[i + 14:]
+        (qkv_s, attn_s, z_s, da_s, dqkv_s) = scratches[:5]
+        p_s = scratches[5] if stash_p else None
+        # a / x1 / y (each (nlon, n, c)) overlay the (nlon, n, 3c) dqkv
+        # scratch as disjoint column thirds: their live ranges end at the
+        # tail backward, strictly before bwd_body writes dq/dk/dv — saves
+        # 3 * nlon*n*c of VMEM (the margin that fits the p-stash under
+        # the 128 MB cap)
 
         first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
                  & (pl.program_id(2) == 0))
@@ -223,6 +247,11 @@ def _make_block_bwd_kernel(heads: int, hd: int, window, nlon: int, c: int,
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
                 pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+                if p_s is not None:
+                    # stash the probabilities: bwd_body reuses them
+                    # instead of recomputing the s-dot + softmax
+                    # (~7.5 MB of VMEM buys ~1.9 ms/block of recompute)
+                    p_s[pl.ds(lo, chunk), :, h * n:(h + 1) * n] = pr
                 o = jax.lax.dot_general(
                     pr, v, (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
@@ -237,19 +266,19 @@ def _make_block_bwd_kernel(heads: int, hd: int, window, nlon: int, c: int,
             af, wp_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         a = a + bp_ref[...][None].astype(jnp.float32)
-        a_s[...] = a.astype(dt).reshape(nlon, n, c)
+        dqkv_s[:, :, 0:c] = a.astype(dt).reshape(nlon, n, c)
 
         # tail forward (LN1 -> residual -> MLP), keeping LN inputs
-        a32 = a_s[...].reshape(nlon * n, c).astype(jnp.float32)
+        a32 = dqkv_s[:, :, 0:c].reshape(nlon * n, c).astype(jnp.float32)
         ahat, ra = _ln_fwd_stats(a32)
         br1 = (ahat * n1s_ref[...].astype(jnp.float32)[None]
                + n1b_ref[...].astype(jnp.float32)[None])
         if s1 is not None:
             br1 = br1 * s1
         x1 = xf.astype(jnp.float32) + br1
-        x1_s[...] = x1.astype(dt).reshape(nlon, n, c)
+        dqkv_s[:, :, c:2 * c] = x1.astype(dt).reshape(nlon, n, c)
         z = jax.lax.dot_general(
-            x1_s[...].reshape(nlon * n, c), w1_ref[...],
+            dqkv_s[:, :, c:2 * c].reshape(nlon * n, c), w1_ref[...],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         z = z + b1_ref[...][None].astype(jnp.float32)
         z_s[...] = z.astype(dt).reshape(nlon, n, hidden)
@@ -259,11 +288,11 @@ def _make_block_bwd_kernel(heads: int, hd: int, window, nlon: int, c: int,
             h32.astype(dt), w2_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         y = y + b2_ref[...][None].astype(jnp.float32)
-        y_s[...] = y.astype(dt).reshape(nlon, n, c)
+        dqkv_s[:, :, 2 * c:3 * c] = y.astype(dt).reshape(nlon, n, c)
 
         # ---- backward: tail --------------------------------------------
         dbr2 = gf if s2 is None else gf * s2
-        y32 = y_s[...].reshape(nlon * n, c).astype(jnp.float32)
+        y32 = dqkv_s[:, :, 2 * c:3 * c].reshape(nlon * n, c).astype(jnp.float32)
         yhat, ry = _ln_fwd_stats(y32)
         dy2, dn2s, dn2b = _ln_bwd(dbr2, yhat, ry, n2s_ref[...]
                                   .astype(jnp.float32))
@@ -280,7 +309,8 @@ def _make_block_bwd_kernel(heads: int, hd: int, window, nlon: int, c: int,
             preferred_element_type=jnp.float32)
         dz = (dh * dgelu).astype(dt)
         dw1_ref[...] += jax.lax.dot_general(
-            x1_s[...].reshape(nlon * n, c), dz, (((0,), (0,)), ((), ())),
+            dqkv_s[:, :, c:2 * c].reshape(nlon * n, c), dz,
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         db1_ref[...] += jnp.sum(dz.astype(jnp.float32), axis=0,
                                 keepdims=True)
@@ -315,14 +345,19 @@ def _make_block_bwd_kernel(heads: int, hd: int, window, nlon: int, c: int,
                 v = qkv_s[pl.ds(lo, chunk), :,
                           2 * c + h * hd:2 * c + (h + 1) * hd]
                 do = da_s[pl.ds(lo, chunk), :, h * hd:(h + 1) * hd]
-                s = jax.lax.dot_general(
-                    q, k, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
-                s = s * jnp.float32(scale) + bias[h][None]
-                m = jnp.max(s, axis=-1, keepdims=True)
-                e = jnp.exp(s - m)
-                p32 = e / jnp.sum(e, axis=-1, keepdims=True)
-                p = p32.astype(dt)
+                if p_s is not None:
+                    # probabilities stashed by fwd_body — no recompute
+                    p = p_s[pl.ds(lo, chunk), :, h * n:(h + 1) * n]
+                    p32 = p.astype(jnp.float32)
+                else:
+                    s = jax.lax.dot_general(
+                        q, k, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32)
+                    s = s * jnp.float32(scale) + bias[h][None]
+                    m = jnp.max(s, axis=-1, keepdims=True)
+                    e = jnp.exp(s - m)
+                    p32 = e / jnp.sum(e, axis=-1, keepdims=True)
+                    p = p32.astype(dt)
                 dv = jax.lax.dot_general(
                     p, do, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
@@ -388,7 +423,7 @@ def _wm_chunk_specs(delta, wz, wh, nz, nlat, nlon, n, c, grid_order):
             return (bb,
                     ((wz * zz + rz + dz) // wz) % nz,
                     ((wh * hh + dh) // wh + rh) % nlat,
-                    0, 1 - rz, 0)
+                    0, (rz + dz) % wz, 0)
         return pl.BlockSpec((1, 1, 1, nlon, csz, c), imap,
                             memory_space=pltpu.VMEM)
 
@@ -509,18 +544,20 @@ def _block_bwd_call(p, xs, g, geom, delta_x, delta_g, canon_add: int,
 
     scratch = [pltpu.VMEM((nlon, n, 3 * c), dt),   # qkv
                pltpu.VMEM((nlon, n, c), dt),       # attn out
-               pltpu.VMEM((nlon, n, c), dt),       # proj out (LN1 input)
-               pltpu.VMEM((nlon, n, c), dt),       # x1
                pltpu.VMEM((nlon, n, hidden), dt),  # pre-gelu z
-               pltpu.VMEM((nlon, n, c), dt),       # mlp out (LN2 input)
                pltpu.VMEM((nlon, n, c), dt),       # d(attn out)
-               pltpu.VMEM((nlon, n, 3 * c), dt)]   # dqkv
+               pltpu.VMEM((nlon, n, 3 * c), dt)]   # dqkv (fwd: a/x1/y
+                                                   # overlay its thirds)
+    stash_p = _stash_p_default(c)
+    if stash_p:
+        scratch.append(pltpu.VMEM((nlon, n, heads * n), dt))  # probs stash
 
     r = pl.pallas_call(
         _make_block_bwd_kernel(heads, hd, geom.window, nlon, c, hidden,
                                geom.h, hp, delta_x, delta_g, canon_add,
                                x_layout, g_layout, mask is not None,
-                               fast_math, drop is not None, chunk_target),
+                               fast_math, drop is not None, chunk_target,
+                               stash_p),
         out_shape=out_shapes,
         grid=(nz, nlat, b),
         in_specs=in_specs,
@@ -577,7 +614,8 @@ def _block_train_core_wm(geom, delta_x: Tuple[int, int, int],
                          delta_g: Tuple[int, int, int], canon_add: int,
                          shifted: bool, in_layout: str, out_layout: str,
                          fast_math: bool, chunk_target: Optional[int],
-                         has_drop: bool):
+                         has_drop: bool, tp_axis: Optional[str] = None,
+                         tp_size: int = 1):
     from pangu_tpu.models.layers import window_region_ids
     from pangu_tpu.ops.earth_block_wm import _block_wm_call
 
@@ -586,7 +624,17 @@ def _block_train_core_wm(geom, delta_x: Tuple[int, int, int],
         ids_np = window_region_ids(geom.z, geom.h_padded, geom.window)
 
     def _ids():
-        return None if ids_np is None else jnp.asarray(ids_np)
+        # region ids live on the GLOBAL grid; under z-window (tp)
+        # sharding each shard slices its own window-type rows
+        if ids_np is None:
+            return None
+        ids = jnp.asarray(ids_np)
+        if tp_axis is not None and tp_size > 1:
+            ntype_loc = ids.shape[0] // tp_size
+            ids = jax.lax.dynamic_slice_in_dim(
+                ids, jax.lax.axis_index(tp_axis) * ntype_loc,
+                ntype_loc, 0)
+        return ids
 
     g_layout = "wm" if out_layout == "wm" else "canon"
 
@@ -620,7 +668,8 @@ def run_stage_train_wm(stage_params, x, geom, drops, *,
                        fast_math: bool = False,
                        chunk_target: Optional[int] = None,
                        io_in: str = "canon", io_out: str = "canon",
-                       sp_axis: Optional[str] = None, sp_size: int = 1):
+                       sp_axis: Optional[str] = None, sp_size: int = 1,
+                       tp_axis: Optional[str] = None, tp_size: int = 1):
     """Training forward+backward of one EarthSpecificLayer through the
     mixed-layout window-major kernels (primal == run_stage_wm) with the
     whole-block backward kernel per block.
@@ -646,8 +695,14 @@ def run_stage_train_wm(stage_params, x, geom, drops, *,
     reverse ppermute comes for free from the transpose) and the kernels
     keep only the z/lat stitch; shard_map's transpose then psums the
     replicated parameter gradients across shards.  The returned ``off``
-    has lon component 0, so wm consumers never need a cross-shard read."""
-    from pangu_tpu.ops.earth_block_wm import _lon_shift_wm
+    has lon component 0, so wm consumers never need a cross-shard read.
+
+    Under ``shard_map`` with Z windows sharded over ``tp_axis``
+    (``tp_size`` shards — the bias tables, type-major in z, shard with
+    them), the z component likewise runs as a differentiable
+    storage-level ``_z_shift_wm`` halo and the returned ``off`` has z
+    component 0."""
+    from pangu_tpu.ops.earth_block_wm import _lon_shift_wm, _z_shift_wm
 
     wz, wh, ww = geom.window
     hp = geom.h_padded
@@ -661,6 +716,7 @@ def run_stage_train_wm(stage_params, x, geom, drops, *,
     blocks = stage_params["blocks"]
     nb = len(blocks)
     sharded = sp_axis is not None and sp_size > 1
+    z_sharded = tp_axis is not None and tp_size > 1
 
     deltas, off = [], (0, 0, 0)
     for j in range(nb):
@@ -669,11 +725,15 @@ def run_stage_train_wm(stage_params, x, geom, drops, *,
         off = target
 
     def kdelta(j):
-        """The delta the block-j KERNEL sees: under lon sharding the lon
-        component is resolved at the storage level before the kernel."""
+        """The delta the block-j KERNEL sees: under lon (sp) / z (tp)
+        sharding those components are resolved at the storage level
+        before the kernel."""
         d = deltas[j]
-        if sharded and d[2] and (io_in == "wm" or j > 0):
-            return (d[0], d[1], 0)
+        inner = io_in == "wm" or j > 0
+        if sharded and d[2] and inner:
+            d = (d[0], d[1], 0)
+        if z_sharded and d[0] and inner:
+            d = (0, d[1], d[2])
         return d
 
     for j, bp in enumerate(blocks):
@@ -684,17 +744,21 @@ def run_stage_train_wm(stage_params, x, geom, drops, *,
         if sharded and delta[2] and in_l == "wm":
             xs = _lon_shift_wm(xs, delta[2], ww, sp_axis, sp_size)
             delta = (delta[0], delta[1], 0)
+        if z_sharded and delta[0] and in_l == "wm":
+            xs = _z_shift_wm(xs, delta[0], wz, tp_axis, tp_size)
+            delta = (0, delta[1], delta[2])
         # block j+1 wrote dx in its own window coords: array position t
         # holds the cotangent of storage token t + kdelta_{j+1} (the lon
-        # component, when storage-resolved, is undone by the lon shift's
-        # own transpose), so the g-read offset is the NEGATED next-block
-        # kernel delta
+        # and z components, when storage-resolved, are undone by the
+        # shifts' own transposes), so the g-read offset is the NEGATED
+        # next-block kernel delta
         delta_g = (tuple(-d for d in kdelta(j + 1)) if j + 1 < nb
                    else (0, 0, 0))
         drop = drops[j] if drops is not None else None
         core = _block_train_core_wm(
             geom, delta, delta_g, half[1] if shifted else 0, shifted,
-            in_l, out_l, fast_math, chunk_target, drop is not None)
+            in_l, out_l, fast_math, chunk_target, drop is not None,
+            tp_axis if z_sharded else None, tp_size if z_sharded else 1)
         xs = core(bp, xs, drop)
 
     if io_out == "wm":
@@ -702,6 +766,10 @@ def run_stage_train_wm(stage_params, x, geom, drops, *,
             # hand consumers a lon-canonical shard: they stitch only z/lat
             xs = _lon_shift_wm(xs, -off[2], ww, sp_axis, sp_size)
             off = (off[0], off[1], 0)
+        if z_sharded and off[0]:
+            # hand consumers a z-canonical shard: they stitch only lat
+            xs = _z_shift_wm(xs, -off[0], wz, tp_axis, tp_size)
+            off = (0, off[1], off[2])
         return xs, off
     if off != (0, 0, 0):
         if sharded:

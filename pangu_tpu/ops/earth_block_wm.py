@@ -199,7 +199,9 @@ def _make_wm_kernel(heads: int, hd: int, window, nlon: int, c: int,
                 s = jax.lax.dot_general(
                     q, k, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
-                s = s * jnp.float32(scale) + bias[h][None]
+                # scale pre-folded into the q columns of wqkv/bqkv (the
+                # call site scales them): s == (q*scale)@k^T exactly
+                s = s + bias[h][None]
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
                 pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
@@ -275,8 +277,10 @@ def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
                                 memory_space=pltpu.VMEM)]
     elif stitch:
         # four (nlon, N/2, C) z-half chunks: window z-row rz reads source
-        # z-window ((wz*zz + rz + dz) // wz) % nz, local z (rz+dz) % wz =
-        # n-block 1-rz for dz=+-1; its lat rows come from lat-windows
+        # z-window ((wz*zz + rz + dz) // wz) % nz, local z-half
+        # (rz+dz) % wz (= 1-rz for dz=+-1; = rz when the z component was
+        # resolved at the storage level, e.g. the tp-sharded trunk's
+        # _z_shift_wm); its lat rows come from lat-windows
         # ha = ((wh*hh + dh) // wh) % nlat (supplies local rows dh..wh-1)
         # and ha+1 (local 0..dh-1) — mixed in-kernel (lat_mix).  The
         # modular index maps ARE torch.roll's wrap-around.
@@ -289,7 +293,7 @@ def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
                     bb,
                     ((wz * zz + rz + dz) // wz) % nz,
                     ((wh * hh + dh) // wh + rh) % nlat,
-                    0, 1 - rz, 0),
+                    0, (rz + dz) % wz, 0),
                 memory_space=pltpu.VMEM)
 
         x_specs = [mk_x_spec(rz, rh) for rz in range(2) for rh in range(2)]
@@ -299,8 +303,12 @@ def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
                                 memory_space=pltpu.VMEM)]
 
     dt = xs.dtype
-    wqkv = p["attn"]["qkv"]["kernel"].astype(dt)
-    bqkv = p["attn"]["qkv"]["bias"].astype(dt)
+    # fold the attention scale into the q columns: the kernel's s-dot
+    # then needs no per-element multiply ((q*s)@k^T == (q@k^T)*s)
+    _qs = jnp.concatenate(
+        [jnp.full((c,), hd ** -0.5), jnp.ones((2 * c,))], 0)
+    wqkv = (p["attn"]["qkv"]["kernel"] * _qs[None]).astype(dt)
+    bqkv = (p["attn"]["qkv"]["bias"] * _qs).astype(dt)
     wp = p["attn"]["proj"]["kernel"].astype(dt)
     bp = p["attn"]["proj"]["bias"].astype(dt)
     bias = p["attn"]["bias_table"]          # native dtype; cast per-tile
@@ -420,6 +428,47 @@ def _lon_shift_wm(xs, dw: int, ww: int, sp_axis: Optional[str],
                      jnp.roll(xp, -(ww + dw), axis=4))
 
 
+def _z_shift_wm(xs, dz: int, wz: int, tp_axis: Optional[str],
+                tp_size: int):
+    """Global Z shift on window-major storage: canonical window z-row rz
+    reads storage z token (wz*zz + rz + dz) — the wm form of
+    ``jnp.roll(canonical, -dz, axis=Z)`` (reference torch.roll on Z,
+    /root/reference/models/layers.py:199-201, wrap masked by gen_mask).
+
+    N is (z, lat, lon)-major, so the two z-halves of every window move as
+    whole N/2 chunks: for dz=+1 the new first half is the window's own
+    second half and the new second half is the NEXT z-window's first half
+    — which under a z-window-sharded mesh (the tp axis of the wm trunk)
+    lives on the next chip, so the neighbour rotate becomes a
+    one-z-row ``lax.ppermute`` halo over ICI.  Resolving dz here lets the
+    whole-block kernels keep a shard-local (dz=0) stitch, exactly like
+    ``_lon_shift_wm`` does for the longitude component under sp."""
+    if dz == 0:
+        return xs
+    assert wz == 2 and dz in (-1, 1), (wz, dz)
+    half = xs.shape[4] // 2
+    lo, hi = xs[:, :, :, :, :half], xs[:, :, :, :, half:]
+    sharded = tp_axis is not None and tp_size > 1
+
+    def z_rotate(x, step: int):
+        # storage z-window zz reads window zz+step (step in {-1, +1})
+        if not sharded:
+            return jnp.roll(x, -step, axis=1)
+        if step > 0:
+            halo = jax.lax.ppermute(
+                x[:, :1], tp_axis,
+                [((i + 1) % tp_size, i) for i in range(tp_size)])
+            return jnp.concatenate([x[:, 1:], halo], axis=1)
+        halo = jax.lax.ppermute(
+            x[:, -1:], tp_axis,
+            [((i - 1) % tp_size, i) for i in range(tp_size)])
+        return jnp.concatenate([halo, x[:, :-1]], axis=1)
+
+    if dz > 0:
+        return jnp.concatenate([hi, z_rotate(lo, 1)], axis=4)
+    return jnp.concatenate([z_rotate(hi, -1), lo], axis=4)
+
+
 def _pick_gh(nlat: int, target: int) -> int:
     """Largest divisor of nlat <= target (lat windows per program)."""
     for g in range(min(nlat, max(1, target)), 0, -1):
@@ -431,7 +480,8 @@ def _pick_gh(nlat: int, target: int) -> int:
 def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
                  chunk_target: Optional[int] = None,
                  io_layout: str = "canon", lat_group: int = 1,
-                 sp_axis: Optional[str] = None, sp_size: int = 1):
+                 sp_axis: Optional[str] = None, sp_size: int = 1,
+                 tp_axis: Optional[str] = None, tp_size: int = 1):
     """Run one EarthSpecificLayer in window-major whole-block kernels.
 
     ``io_layout="canon"`` (default): x is canonical (B, Z, H, W, C) and
@@ -455,13 +505,21 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
     kernel, and the z/lat components stay in the kernels' stitch index
     maps. The returned ``off`` then always has lon component 0, so wm
     consumers (ops/updown_wm, engine/transition_wm) never need a
-    cross-shard lon read."""
+    cross-shard lon read.
+
+    Under ``shard_map`` with Z WINDOWS sharded over mesh axis ``tp_axis``
+    (``tp_size`` shards — the tensor-parallel axis: the earth-specific
+    bias tables, ~87% of all parameters, are type-major in z and shard
+    with the z windows), x is additionally the local z shard: the z
+    component of each half-window shift runs as a storage-level
+    ``_z_shift_wm`` (a one-z-row ppermute halo + N-half swap) and the
+    kernels keep only the lat stitch.  The returned ``off`` then has z
+    component 0 as well."""
     wz, wh, ww = geom.window
     hp = geom.h_padded
     wm_io = io_layout == "wm"
     if wm_io:
         xs = x
-        Z = xs.shape[1] * wz
     else:
         B, Z, H, W, C = x.shape
         xs = jnp.pad(x, ((0, 0), (0, 0), (0, hp - H), (0, 0), (0, 0)))
@@ -471,6 +529,7 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
     blocks = stage_params["blocks"]
     nb = len(blocks)
     sharded = sp_axis is not None and sp_size > 1
+    z_sharded = tp_axis is not None and tp_size > 1
 
     gh = _pick_gh(hp // wh, lat_group)
     for j, bp in enumerate(blocks):
@@ -479,7 +538,14 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
         delta = tuple(t - o for t, o in zip(target, off))
         if shifted and mask is None:
             from pangu_tpu.models.layers import window_region_ids
-            mask = jnp.asarray(window_region_ids(Z, hp, geom.window))
+            # region ids are defined on the GLOBAL grid (geom.z) — under
+            # z sharding each shard slices its own window-type rows
+            mask = jnp.asarray(window_region_ids(geom.z, hp, geom.window))
+            if z_sharded:
+                ntype_loc = mask.shape[0] // tp_size
+                mask = jax.lax.dynamic_slice_in_dim(
+                    mask, jax.lax.axis_index(tp_axis) * ntype_loc,
+                    ntype_loc, 0)
         in_l = "wm" if (wm_io or j > 0) else "canon"
         out_l = "wm" if (wm_io or j < nb - 1) else "canon"
         if sharded and delta[2] and in_l == "wm":
@@ -488,6 +554,12 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
             xs = _lon_shift_wm(xs, delta[2], ww, sp_axis, sp_size)
             delta = (delta[0], delta[1], 0)
             off = (off[0], off[1], target[2])
+        if z_sharded and delta[0] and in_l == "wm":
+            # resolve the z component at the storage level likewise; the
+            # kernel keeps only the lat stitch
+            xs = _z_shift_wm(xs, delta[0], wz, tp_axis, tp_size)
+            delta = (0, delta[1], delta[2])
+            off = (target[0], off[1], off[2])
         if in_l == "wm" and out_l == "wm" and gh > 1:
             # interior blocks: gh lat-windows per program (wider matmuls,
             # amortised weight/bias-table streams)
@@ -508,6 +580,10 @@ def run_stage_wm(stage_params, x, geom, *, fast_math: bool = False,
             # hand consumers a lon-canonical shard: they stitch only z/lat
             xs = _lon_shift_wm(xs, -off[2], ww, sp_axis, sp_size)
             off = (off[0], off[1], 0)
+        if z_sharded and off[0]:
+            # hand consumers a z-canonical shard: they stitch only lat
+            xs = _z_shift_wm(xs, -off[0], wz, tp_axis, tp_size)
+            off = (0, off[1], off[2])
         return xs, off
     if off != (0, 0, 0):
         if sharded:
@@ -662,7 +738,9 @@ def _make_wm_group_kernel(heads: int, hd: int, window, nlon: int, c: int,
                 s = jax.lax.dot_general(
                     q, k, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
-                s = s * jnp.float32(scale) + bias[h][None]
+                # scale pre-folded into the q columns of wqkv/bqkv (the
+                # call site scales them): s == (q*scale)@k^T exactly
+                s = s + bias[h][None]
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
                 pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
@@ -714,7 +792,7 @@ def _block_wm_group_call(p, xs, geom, delta, canon_add: int,
                 return (bb,
                         ((wz * zz + rz + dz) // wz) % nz,
                         (hh + blk_a + rb) % nblk,
-                        0, 1 - rz, 0)
+                        0, (rz + dz) % wz, 0)
             return pl.BlockSpec((1, 1, gh, nlon, n // 2, c), imap,
                                 memory_space=pltpu.VMEM)
 
@@ -728,8 +806,11 @@ def _block_wm_group_call(p, xs, geom, delta, canon_add: int,
         n_x = 1
 
     dt = xs.dtype
-    wqkv = p["attn"]["qkv"]["kernel"].astype(dt)
-    bqkv = p["attn"]["qkv"]["bias"].astype(dt)
+    # q-scale fold, as in _block_wm_call
+    _qs = jnp.concatenate(
+        [jnp.full((c,), hd ** -0.5), jnp.ones((2 * c,))], 0)
+    wqkv = (p["attn"]["qkv"]["kernel"] * _qs[None]).astype(dt)
+    bqkv = (p["attn"]["qkv"]["bias"] * _qs).astype(dt)
     wp = p["attn"]["proj"]["kernel"].astype(dt)
     bp = p["attn"]["proj"]["bias"].astype(dt)
     bias = p["attn"]["bias_table"]

@@ -14,9 +14,12 @@ data parallelism (SURVEY.md §2.4):
     only sp communication is the halo/permute traffic from rolls
     (models/layers.py:199-201 becomes a collective permute over ICI) and
     patch-merge boundaries;
-  * tp shards attention-head-aligned parameters: the earth-specific bias
-    tables — by far the largest parameter group (~87% of all weights) —
-    plus the MLP hidden dimension, megatron-style.
+  * tp shards the earth-specific bias tables — by far the largest
+    parameter group (~87% of all weights) — along their z-type-major
+    window-type axis, which is exactly how the wm trunk shards compute
+    (z windows over tp, models/pangu.wm_core_mesh); the MLP hidden
+    dimension and the proj input rows additionally shard megatron-style
+    for the XLA fallback paths.
 """
 
 from __future__ import annotations
@@ -76,7 +79,11 @@ def param_spec(path: tuple, leaf) -> P:
                              for n in names):
         return P()   # scalars + LoRA factors (tiny) stay replicated
     if "bias_table" in names:
-        return P(None, "tp", None, None)       # (ntype, heads, N, N)
+        # (ntype, heads, N, N): shard the z-type-major type axis — the
+        # layout the wm trunk's tp (z-window) sharding consumes directly
+        # (spec_b reads rows zz*nlat+hh, ops/earth_block_wm.py), so the
+        # ~87%-of-params tables never reshard on the fast path
+        return P("tp", None, None, None)
     if "mlp" in names and "fc1" in names:
         return P(None, "tp") if leaf.ndim == 2 else P("tp")
     if "mlp" in names and "fc2" in names:

@@ -106,9 +106,10 @@ def test_param_sharding_specs(problem):
     params, _, _ = problem
     mesh = M.build_mesh(MeshConfig(dp=2, sp=2, tp=2))
     sh = S.param_shardings(mesh, params)
-    # bias tables are the ~87% param group: must be tp-sharded on heads
+    # bias tables are the ~87% param group: tp-sharded on the z-type-major
+    # window-type axis (the layout the wm trunk's z-window tp consumes)
     bt = sh["stages"][1]["blocks"][0]["attn"]["bias_table"]
-    assert bt.spec == jax.sharding.PartitionSpec(None, "tp", None, None)
+    assert bt.spec == jax.sharding.PartitionSpec("tp", None, None, None)
     # mlp fc1 sharded on hidden dim
     fc1 = sh["stages"][0]["blocks"][0]["mlp"]["fc1"]["kernel"]
     assert fc1.spec == jax.sharding.PartitionSpec(None, "tp")
@@ -118,7 +119,8 @@ def test_param_sharding_specs(problem):
 
 
 def test_pallas_config_falls_back_under_mesh(problem):
-    """attn_impl=pallas under a >1-device mesh must route through the
+    """attn_impl=pallas under a mesh the kernels CANNOT shard over (here:
+    sp=3 divides no stage's lon-window count) must route through the
     sharded XLA path (GSPMD cannot partition pallas_call) and match the
     XLA numerics exactly."""
     params, consts, batch = problem
@@ -128,7 +130,9 @@ def test_pallas_config_falls_back_under_mesh(problem):
     ref = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts, CFG))(
         params, u, s)
 
-    mesh = M.build_mesh(MeshConfig(dp=2, sp=2, tp=2))
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=3, tp=1))
+    with jax.set_mesh(mesh):
+        assert pangu.wm_core_mesh(cfg_p) is None
     sp = jax.device_put(params, S.param_shardings(mesh, params))
     bsh = S.batch_shardings(mesh)
     su = jax.device_put(u, bsh["upper"])
@@ -420,6 +424,96 @@ def test_sharded_wm_train_step_matches_single_device(problem, monkeypatch):
     for path in [("patch_embed", "upper", "kernel"),
                  ("downsample", "reduce", "kernel"),
                  ("stages", 1, "blocks", 1, "attn", "qkv", "kernel"),
+                 ("stages", 3, "blocks", 0, "mlp", "fc1", "kernel")]:
+        a = ref_state.params
+        b = got_state.params
+        for k in path:
+            a, b = a[k], b[k]
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_wm_trunk_tp_shard_map_matches_single_device(problem):
+    """The all-wm trunk under a dp=2/sp=2/tp=2 mesh: tp shards the Z
+    WINDOWS — and with them the z-type-major bias tables (~87% of all
+    parameters) — the shifted blocks' z component runs as a one-z-row
+    ppermute halo (``_z_shift_wm``), and the forward must match
+    single-device XLA (VERDICT round-4 item 6: tp-composable fused
+    kernels)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    params, consts, batch = problem
+    cfg_p = dataclasses.replace(CFG, attn_impl="pallas", block_layout="wm")
+    u = jnp.asarray(batch["upper"])
+    s = jnp.asarray(batch["surface"])
+    ref = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts, CFG))(
+        params, u, s)
+
+    # dp=2 x sp=1 x tp=2 = 4 devices: tp halos exercised without the
+    # 8-concurrent-interpret-device serialisation pathology (NOTES.md)
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=1, tp=2))
+    with jax.set_mesh(mesh):
+        assert pangu.wm_core_mesh(cfg_p) is not None, \
+            "tp=2 must now compose with the wm trunk (TINY nz=2)"
+    sp = jax.device_put(params, S.param_shardings(mesh, params))
+    bsh = S.batch_shardings(mesh)
+    su = jax.device_put(u, bsh["upper"])
+    ss = jax.device_put(s, bsh["surface"])
+    with jax.set_mesh(mesh), pltpu.force_tpu_interpret_mode():
+        got = jax.jit(lambda p, a, b: pangu.forward(p, a, b, consts,
+                                                    cfg_p))(sp, su, ss)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=2e-4)
+
+
+def test_sharded_wm_train_step_tp_matches_single_device(problem,
+                                                        monkeypatch):
+    """The FULL train step through the all-wm training trunk under a
+    dp=2/sp=2/tp=2 mesh — z-window tp with differentiable z halos, bias
+    tables entering shard_map tp-sharded, param grads psum'd by the
+    transpose — must match the single-device XLA train step (VERDICT
+    round-4 item 6: 'MID dryrun runs the wm kernels at tp=4 with grads
+    == XLA'; TINY's nz=2 pins the same path at tp=2)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    params, consts, batch = problem
+    cfg_p = dataclasses.replace(CFG, attn_impl="pallas", block_layout="wm")
+    tcfg = TrainConfig(lr=1e-4, weight_decay=0.0)
+    tx = T.make_optimizer(tcfg, steps_per_epoch=10)
+    key = jax.random.PRNGKey(0)
+
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    ref_step = T.make_train_step(CFG, tcfg, consts, tx, jit=False)
+    state0 = T.create_train_state(params, tx)
+    ref_state, ref_m = jax.jit(ref_step)(state0, jb, key)
+
+    calls = []
+    orig = pangu.forward_core_wm_train
+
+    def spy(*a, **k):
+        calls.append((k.get("sp_axis"), k.get("tp_axis")))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pangu, "forward_core_wm_train", spy)
+
+    # 4 devices (dp=2 x sp=1 x tp=2): see the forward test above
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=1, tp=2))
+    sparams = jax.device_put(params, S.param_shardings(mesh, params))
+    bsh = S.batch_shardings(mesh)
+    sb = {k: jax.device_put(jnp.asarray(v), bsh[k]) for k, v in batch.items()}
+    step_p = T.make_train_step(cfg_p, tcfg, consts, tx, jit=False)
+    with jax.set_mesh(mesh), pltpu.force_tpu_interpret_mode():
+        sstate = T.create_train_state(sparams, tx)
+        got_state, got_m = jax.jit(step_p)(sstate, sb, key)
+
+    assert calls == [("sp", "tp")], "expected the tp-sharded wm trunk"
+    np.testing.assert_allclose(float(got_m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-5)
+    for path in [("patch_embed", "upper", "kernel"),
+                 ("downsample", "reduce", "kernel"),
+                 ("stages", 1, "blocks", 1, "attn", "qkv", "kernel"),
+                 ("stages", 1, "blocks", 1, "attn", "bias_table"),
                  ("stages", 3, "blocks", 0, "mlp", "fc1", "kernel")]:
         a = ref_state.params
         b = got_state.params
