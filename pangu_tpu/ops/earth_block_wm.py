@@ -199,9 +199,7 @@ def _make_wm_kernel(heads: int, hd: int, window, nlon: int, c: int,
                 s = jax.lax.dot_general(
                     q, k, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
-                # scale pre-folded into the q columns of wqkv/bqkv (the
-                # call site scales them): s == (q*scale)@k^T exactly
-                s = s + bias[h][None]
+                s = s * jnp.float32(scale) + bias[h][None]
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
                 pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
@@ -303,12 +301,8 @@ def _block_wm_call(p, xs, geom, delta: Tuple[int, int, int],
                                 memory_space=pltpu.VMEM)]
 
     dt = xs.dtype
-    # fold the attention scale into the q columns: the kernel's s-dot
-    # then needs no per-element multiply ((q*s)@k^T == (q@k^T)*s)
-    _qs = jnp.concatenate(
-        [jnp.full((c,), hd ** -0.5), jnp.ones((2 * c,))], 0)
-    wqkv = (p["attn"]["qkv"]["kernel"] * _qs[None]).astype(dt)
-    bqkv = (p["attn"]["qkv"]["bias"] * _qs).astype(dt)
+    wqkv = p["attn"]["qkv"]["kernel"].astype(dt)
+    bqkv = p["attn"]["qkv"]["bias"].astype(dt)
     wp = p["attn"]["proj"]["kernel"].astype(dt)
     bp = p["attn"]["proj"]["bias"].astype(dt)
     bias = p["attn"]["bias_table"]          # native dtype; cast per-tile
@@ -738,9 +732,7 @@ def _make_wm_group_kernel(heads: int, hd: int, window, nlon: int, c: int,
                 s = jax.lax.dot_general(
                     q, k, (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
-                # scale pre-folded into the q columns of wqkv/bqkv (the
-                # call site scales them): s == (q*scale)@k^T exactly
-                s = s + bias[h][None]
+                s = s * jnp.float32(scale) + bias[h][None]
                 m = jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s - m)
                 pr = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
@@ -806,11 +798,8 @@ def _block_wm_group_call(p, xs, geom, delta, canon_add: int,
         n_x = 1
 
     dt = xs.dtype
-    # q-scale fold, as in _block_wm_call
-    _qs = jnp.concatenate(
-        [jnp.full((c,), hd ** -0.5), jnp.ones((2 * c,))], 0)
-    wqkv = (p["attn"]["qkv"]["kernel"] * _qs[None]).astype(dt)
-    bqkv = (p["attn"]["qkv"]["bias"] * _qs).astype(dt)
+    wqkv = p["attn"]["qkv"]["kernel"].astype(dt)
+    bqkv = p["attn"]["qkv"]["bias"].astype(dt)
     wp = p["attn"]["proj"]["kernel"].astype(dt)
     bp = p["attn"]["proj"]["bias"].astype(dt)
     bias = p["attn"]["bias_table"]
