@@ -34,11 +34,20 @@ cache unless .jax_cache is committed):
  * DEADLINE_S defaults to 1560 s (driver kill observed at >=1699 s).
 
 Outage hardening (the TPU tunnel has documented multi-hour outages where
-backend init hangs ~20-25 min): the parent process NEVER imports jax.
-It first probes the backend in a strictly timeout-bounded subprocess;
-if the probe can't produce a backend inside PROBE_TIMEOUT_S (twice),
-it prints a structured error JSON and exits — total wall clock on the
-outage path is ~5 minutes, never a driver-side rc=124.
+backend init hangs ~20-25 min, and documented DEGRADED periods —
+2026-08-21 02:10 onward — where every NEW client attach blocks ~17-18
+min even though short-lived probes answer in seconds; the slot-release
+after a HEAVY client disconnects takes ~15-18 min): the parent process
+NEVER imports jax, and the whole run makes ONE tunnel attach.  There is
+no separate probe process — the measuring child IS the probe: it times
+its own backend init (a watchdog thread reports progress to stderr)
+and runs ALL FOUR metrics in-process in scoreboard-priority order —
+rollout (primary), train (the metric the scoreboard lacked for four
+rounds), single, batch4 — freeing the inference buffers around the
+~12 GiB train step.  The pristine separate train child remains only as
+a fallback when the in-process train was skipped for budget.  A truly
+dead backend means the child never prints; the parent kills everything
+at the global deadline and emits a structured error JSON.
 """
 
 from __future__ import annotations
@@ -53,16 +62,16 @@ import time
 
 BASELINE_MS = 150.0
 STEPS = 10
-PROBE_TIMEOUT_S = 150      # backend init hangs ~20 min when the tunnel is
-                           # down; a healthy init answers in < 30 s
 # Per-child wall budgets (compile + measure in ONE process). Cold-cache
 # observations on a healthy tunnel: rollout compile ~480 s, train
 # compile ~290 s, single ~150 s incremental, batch4 ~250 s incremental.
-CHILD_BUDGET_S = {"infer": 1250, "train": 900, "retry": 700}
+CHILD_BUDGET_S = {"train": 900, "retry": 700}
 # In-child cost estimates used to decide whether to start the NEXT prog
 # with the remaining child budget (skipped progs are retried in a later
-# child if the global deadline allows).
-PROG_EST_S = {"rollout": 1100, "single": 260, "batch4": 380, "train": 850}
+# child if the global deadline allows).  "train_inproc" is the
+# degraded-mode in-process train (state build + cache load + 8 steps).
+PROG_EST_S = {"rollout": 1100, "single": 260, "batch4": 380, "train": 850,
+              "train_inproc": 450}
 # Secondary metrics run only while this much wall clock (from process
 # start) remains un-spent; the PRIMARY ignores it (it is bounded by its
 # own child budget).  r03/r04 post-mortem: the driver's outer timeout
@@ -109,20 +118,32 @@ def _emit(results: dict, error: str | None = None) -> None:
     print(_result_json(results, error), flush=True)
 
 
-def probe_backend(timeout_s: float) -> str | None:
-    """Ask a fresh interpreter for jax.default_backend(), hard-bounded.
-    Returns the backend name, or None on timeout/failure."""
-    code = "import jax; print('BACKEND=' + jax.default_backend())"
+def _timed_backend_init():
+    """First jax touch, timed, with a stderr heartbeat so a slow tunnel
+    attach is visible (and distinguishable from a hang) in driver logs.
+    Returns (jax_module, init_seconds)."""
+    t0 = time.monotonic()
+    done = threading.Event()
+
+    def _heartbeat():
+        while not done.wait(60.0):
+            sys.stderr.write(f"[bench-child] backend init pending "
+                             f"{time.monotonic() - t0:.0f}s "
+                             f"(tunnel slow-attach?)\n")
+            sys.stderr.flush()
+
+    th = threading.Thread(target=_heartbeat, daemon=True)
+    th.start()
     try:
-        proc = subprocess.run([sys.executable, "-u", "-c", code],
-                              capture_output=True, text=True,
-                              timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return None
-    for ln in proc.stdout.splitlines():
-        if ln.startswith("BACKEND="):
-            return ln.split("=", 1)[1].strip()
-    return None
+        import jax
+        _cache_config(jax)
+        jax.devices()
+    finally:
+        done.set()
+    init_s = time.monotonic() - t0
+    sys.stderr.write(f"[bench-child] backend ready in {init_s:.0f}s\n")
+    sys.stderr.flush()
+    return jax, init_s
 
 
 def _run_streaming_child(progs: list[str], budget_s: float,
@@ -178,62 +199,49 @@ def _run_streaming_child(progs: list[str], budget_s: float,
         _log(f"child {progs}: budget {budget_s:.0f}s exhausted; killing")
         proc.kill()
     rc = proc.wait()
-    missing = [p for p in want if p not in results]
+    missing = [p for p in want if p != "auto" and p not in results]
     if not missing:
         return None
     return f"{'/'.join(missing)} missing (child rc={rc})"
 
 
 def main_with_retries() -> int:
-    """Probe-gated, measure-first, print-early. Always prints at least
-    one JSON line (result or structured error) before returning."""
-    backend = probe_backend(PROBE_TIMEOUT_S)
-    if backend is None:
-        _log("backend probe 1 failed; re-probing")
-        backend = probe_backend(PROBE_TIMEOUT_S)
-    if backend is None:
-        _emit({}, error=(
-            f"jax backend unavailable: two init probes exceeded "
-            f"{PROBE_TIMEOUT_S}s each (TPU tunnel outage?)"))
-        return 0
-    _log(f"backend={backend}; deadline={DEADLINE_S:.0f}s")
-
+    """One-attach-first, measure-first, print-early. Always prints at
+    least one JSON line (result or structured error) before returning.
+    The first child IS the backend probe (no separate probe process —
+    every attach is expensive when the tunnel is degraded)."""
+    _log(f"deadline={DEADLINE_S:.0f}s")
     results: dict = {}
 
-    # ---- Child 1: the inference trio in ONE process (rollout is the
-    # PRIMARY and streams first; single/batch4 reuse the live setup and
-    # are skipped by the child itself if its budget runs short). -------
-    fail = _run_streaming_child(["rollout", "single", "batch4"],
-                                CHILD_BUDGET_S["infer"], results)
+    # ---- Child 1: ONE tunnel attach, adaptive ("auto"): rollout always
+    # first (primary); if its own init was slow (degraded tunnel) it
+    # also runs train -> single -> batch4 in-process rather than leaving
+    # them to further attaches. ----------------------------------------
+    fail = _run_streaming_child(["auto"], max(_remaining() - 60, 120),
+                                results)
     if "rollout" not in results:
-        if probe_backend(120) is None:
-            _emit(results, error=f"backend lost during rollout ({fail})")
-            return 0
-        _log("rollout missing after child 1; one bounded retry")
-        fail = _run_streaming_child(["rollout"],
-                                    min(CHILD_BUDGET_S["infer"],
-                                        max(_remaining(), 300)), results)
-        if "rollout" not in results:
-            _emit(results, error=f"primary rollout failed ({fail})")
-            return 0
+        _emit(results, error=f"primary rollout failed ({fail})")
+        return 0
 
-    # ---- Child 2: the train step (own process: ~12 GiB peak). --------
+    # ---- Child 2: pristine train process (~12 GiB peak alone) when the
+    # healthy-tunnel child deferred it. --------------------------------
     rem = _remaining()
-    if rem > 180:
-        fail = _run_streaming_child(["train"],
-                                    min(CHILD_BUDGET_S["train"], rem),
-                                    results)
-        if fail is not None:
-            _log(f"train child: {fail}")
-    else:
-        _log(f"skipping train: {rem:.0f}s left under deadline")
+    if "train" not in results:
+        if rem > 240:
+            fail = _run_streaming_child(["train"],
+                                        min(CHILD_BUDGET_S["train"],
+                                            rem - 30), results)
+            if fail is not None:
+                _log(f"train child: {fail}")
+        else:
+            _log(f"skipping train: {rem:.0f}s left under deadline")
 
-    # ---- Child 3: retry anything the inference child had to skip. ----
+    # ---- Child 3: retry anything still missing. ----------------------
     missing = [p for p in ("single", "batch4") if p not in results]
     rem = _remaining()
-    if missing and rem > 180 and probe_backend(120) is not None:
+    if missing and rem > 240:
         fail = _run_streaming_child(missing,
-                                    min(CHILD_BUDGET_S["retry"], rem),
+                                    min(CHILD_BUDGET_S["retry"], rem - 30),
                                     results)
         if fail is not None:
             _log(f"retry child: {fail}")
@@ -399,6 +407,72 @@ def _measure_train() -> float:
     return tail[len(tail) // 2]
 
 
+def _run_auto(budget_s: float) -> int:
+    """Single-attach child: ALL FOUR metrics in this one process, in
+    scoreboard-priority order rollout -> train -> single -> batch4.
+    One attach because the tunnel's slot-release after ANY heavy client
+    disconnect takes ~15-18 min in its degraded state (2026-08-21), so
+    a multi-child design can lose every secondary to attach hangs.  The
+    in-process train pays a setup teardown/rebuild and a small
+    allocator-noise risk (median-of-tail rides it out); the parent
+    still runs the pristine train child as a fallback when this one
+    skipped it."""
+    import gc
+
+    t0 = time.monotonic()
+
+    def left() -> float:
+        return budget_s - (time.monotonic() - t0)
+
+    jax, _init_s = _timed_backend_init()
+
+    _, cfg, params, constants, roll, fresh = _setup(need_rollout=True)
+    jax.block_until_ready(roll(params, *fresh(0)))
+    rollfn = lambda u, s: roll(params, u, s)
+    val = _best_valid(_timed(rollfn, fresh, 3, STEPS),
+                      lambda: _timed(rollfn, fresh, 5, STEPS), "rollout")
+    if val is not None:
+        _emit_value("rollout", val)
+
+    torn_down = False
+    if left() >= PROG_EST_S["train_inproc"]:
+        # the train step needs ~12 GiB alone: free every inference
+        # buffer (params/constants/the rollout's donated chain) first
+        del roll, rollfn, fresh, params, constants
+        gc.collect()
+        torn_down = True
+        _emit_value("train", _measure_train())
+        gc.collect()
+    else:
+        sys.stderr.write(f"[bench-child] skipping train: "
+                         f"{left():.0f}s left\n")
+    for prog in ("single", "batch4"):
+        if left() < PROG_EST_S[prog] + (90 if torn_down else 0):
+            sys.stderr.write(f"[bench-child] skipping {prog}: "
+                             f"{left():.0f}s left\n")
+            continue
+        if torn_down:   # one setup rebuild after the train teardown
+            _, cfg, params, constants, roll, fresh = _setup(
+                need_rollout=True)
+            rollfn = lambda u, s: roll(params, u, s)
+            torn_down = False
+        if prog == "single":
+            step = _make_single_step(jax, cfg, params, constants)
+            jax.block_until_ready(step(*fresh(100)))
+            v = _best_valid(_timed(step, fresh, 3, 1.0),
+                            lambda: _timed(step, fresh, 5, 1.0), "single")
+            del step
+        else:
+            fresh_b = lambda seed: fresh(seed + 5000, batch=4)
+            jax.block_until_ready(roll(params, *fresh_b(0)))
+            v = _best_valid(_timed(rollfn, fresh_b, 2, STEPS),
+                            lambda: _timed(rollfn, fresh_b, 3, STEPS),
+                            "batch4")
+        if v is not None:
+            _emit_value(prog, v)
+    return 0
+
+
 def run_progs(progs: list[str], budget_s: float) -> int:
     """Compile AND measure each prog in order inside THIS process,
     printing a {"prog", "value"} JSON line per success.  Later progs are
@@ -410,6 +484,8 @@ def run_progs(progs: list[str], budget_s: float) -> int:
     def left() -> float:
         return budget_s - (time.monotonic() - t0)
 
+    if progs == ["auto"]:
+        return _run_auto(budget_s)
     if progs == ["train"]:
         # train runs alone: nothing else may share its ~12 GiB process
         _emit_value("train", _measure_train())

@@ -184,10 +184,13 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
         return recover_wm_final(skip, dec, off)
 
     def rollout_tokens_wm_sharded(params, upper, surface, constants, mesh):
-        """The all-wm chained rollout per (dp, sp) shard: ONE shard_map
-        wraps the whole scan, so the carried wm state stays resident per
-        shard across steps and the only cross-shard traffic is the
-        shifted blocks' lon-halo ppermute (VERDICT round-2 item 6)."""
+        """The all-wm chained rollout per (dp, sp, tp) shard: ONE
+        shard_map wraps the whole scan, so the carried wm state stays
+        resident per shard across steps and the only cross-shard traffic
+        is the shifted blocks' lon/z halo ppermutes (VERDICT round-2
+        item 6; tp z-window sharding — with the z-type-major bias tables,
+        ~87% of the weights, staying sharded on the serving path — is
+        round 5)."""
         from jax.sharding import PartitionSpec as P
 
         from pangu_tpu.engine.transition_wm import (apply_transition_wm,
@@ -197,46 +200,60 @@ def make_rollout(cfg: ModelConfig, constants, steps: int, *,
 
         geom = cfg.stage(0)
         sp_size = dict(mesh.shape)["sp"]
+        tp_size = dict(mesh.shape).get("tp", 1)
+        tp_ax = "tp" if tp_size > 1 else None
         cdt = jnp.dtype(cfg.compute_dtype)
         tp = build_transition_wm(params, constants, cfg)
         tpd = {k: tp[k] for k in ("bias_field_wm", "M_s", "M_sh", "M_u",
                                   "M_uh", "M_uz", "M_uzh")}
-        tpd_specs = {k: (P(None, None, None, "sp", None, None)
+        tpd_specs = {k: (P(None, tp_ax, None, "sp", None, None)
                          if k == "bias_field_wm" else P())
                      for k in tpd}
 
-        from pangu_tpu.parallel.sharding import shard_tokens
-        x = shard_tokens(_embed_per_sample(
+        from pangu_tpu.parallel.sharding import constrain
+        tok = P("dp", tp_ax, None, "sp", None)
+        x = constrain(_embed_per_sample(
             lambda u, s: L.patch_embed(params["patch_embed"], u, s,
                                        constants, cfg, precision),
-            upper.astype(cdt), surface.astype(cdt)))
+            upper.astype(cdt), surface.astype(cdt)), tok)
 
-        tok = jax.sharding.PartitionSpec("dp", None, None, "sp", None)
+        nzg = geom.z // geom.window[0]   # global z windows (z % wz == 0
+        # is a wm_core_mesh precondition whenever tp > 1)
 
         def scan_trunk(p, tpl, xc):
             xs = to_window_major(
                 jnp.pad(xc, ((0, 0), (0, 0),
                              (0, geom.h_padded - xc.shape[2]),
                              (0, 0), (0, 0))), geom.window)
+            z_base = (jax.lax.axis_index("tp") * (nzg // tp_size)
+                      if tp_size > 1 else None)
 
             def body(xs, _):
                 skip, dec, off = pangu.forward_core_wm(
-                    p, xs, cfg, sp_axis="sp", sp_size=sp_size)
-                return apply_transition_wm(tpl, skip, dec, geom, off), None
+                    p, xs, cfg, sp_axis="sp", sp_size=sp_size,
+                    tp_axis=tp_ax, tp_size=tp_size)
+                return apply_transition_wm(
+                    tpl, skip, dec, geom, off, z_base=z_base,
+                    nz_global=nzg if tp_size > 1 else None), None
 
             xs, _ = jax.lax.scan(body, xs, None, length=steps - 1)
             skip, dec, off = pangu.forward_core_wm(
-                p, xs, cfg, sp_axis="sp", sp_size=sp_size)
+                p, xs, cfg, sp_axis="sp", sp_size=sp_size,
+                tp_axis=tp_ax, tp_size=tp_size)
 
             def canon_l(t):
                 t = from_window_major(t, geom.window)
-                return jnp.roll(t, off[:2], axis=(1, 2))[:, :, :geom.h]
+                # per-shard roll: z is 0 under tp>1 and lon is 0 under
+                # sp>1 (storage-resolved); the local components must
+                # still be applied (the trunk's canon_l bug, NOTES r5)
+                return jnp.roll(t, off, axis=(1, 2, 3))[:, :, :geom.h]
 
             return canon_l(skip), canon_l(dec)
 
+        from pangu_tpu.models.pangu import _wm_param_specs
         skip, dec = jax.shard_map(
             scan_trunk, mesh=mesh,
-            in_specs=(jax.sharding.PartitionSpec(), tpd_specs, tok),
+            in_specs=(_wm_param_specs(params, tp_size), tpd_specs, tok),
             out_specs=(tok, tok), check_vma=False)(params, tpd, x)
 
         def recover(x_cat):

@@ -59,7 +59,15 @@ def build_transition_wm(params, constants, cfg: ModelConfig,
 
 def _make_transition_wm_kernel(window, nz: int, nlat: int, nlon: int,
                                c: int, h_real: int,
-                               off: Tuple[int, int, int]):
+                               off: Tuple[int, int, int],
+                               z_scalar: bool = False,
+                               nz_global: int = None):
+    """``z_scalar=True``: the kernel takes one extra SMEM scalar input
+    ``z0`` (the shard's first z-window index under tp z-sharding) and the
+    surface/top-plane token-type selection tests the GLOBAL z window
+    ``z0 + zz`` against ``nz_global``.  ``z_scalar=False`` generates
+    source-identical code to the single-device kernel (same program, same
+    compile-cache key)."""
     wz, wh, ww = window
     n = wz * wh * ww
     half = n // 2
@@ -67,6 +75,7 @@ def _make_transition_wm_kernel(window, nz: int, nlat: int, nlon: int,
     dwo = -off[2]
     stitch = off[0] != 0 or off[1] != 0
     n_chunks = 4 if stitch else 1
+    nzg = nz if nz_global is None else nz_global
 
     def assemble(xs):
         if stitch:
@@ -104,13 +113,16 @@ def _make_transition_wm_kernel(window, nz: int, nlat: int, nlon: int,
         decs = refs[n_chunks:2 * n_chunks]
         (bias_ref, ms_ref, msh_ref, mu_ref, muh_ref, muz_ref,
          muzh_ref) = refs[2 * n_chunks:2 * n_chunks + 7]
-        o_ref = refs[2 * n_chunks + 7]
-        y_s = refs[2 * n_chunks + 8]              # (2, nlon, half, c)
+        n_in = 2 * n_chunks + 7 + (1 if z_scalar else 0)
+        o_ref = refs[n_in]
+        y_s = refs[n_in + 1]                      # (2, nlon, half, c)
 
         s = assemble(skips)                       # (nlon, n, c), canonical
         d = assemble(decs)
         dt = s.dtype
         zz = pl.program_id(1)
+        if z_scalar:
+            zz = zz + refs[2 * n_chunks + 7][0]
         hh = pl.program_id(2)
 
         def app(rz, m_ref):
@@ -131,7 +143,7 @@ def _make_transition_wm_kernel(window, nz: int, nlat: int, nlon: int,
         def _():
             y_s[0] = app(0, ms_ref)               # surface plane rows
 
-        @pl.when(zz == nz - 1)
+        @pl.when(zz == nzg - 1)
         def _():
             y_s[1] = app(1, muz_ref)              # top-z plane rows
 
@@ -146,8 +158,8 @@ def _make_transition_wm_kernel(window, nz: int, nlat: int, nlon: int,
                     mh = jnp.where(zz == 0, msh_ref[...], mh)
                     m0 = jnp.where(zz == 0, ms_ref[...], m0)
                 else:
-                    mh = jnp.where(zz == nz - 1, muzh_ref[...], mh)
-                    m0 = jnp.where(zz == nz - 1, muz_ref[...], m0)
+                    mh = jnp.where(zz == nzg - 1, muzh_ref[...], mh)
+                    m0 = jnp.where(zz == nzg - 1, muz_ref[...], m0)
                 # recompute the edge rows with the last-lat matrix: the
                 # correction (M_h - M) applies only where latmask
                 dm_ref = mh - m0
@@ -170,13 +182,23 @@ def _make_transition_wm_kernel(window, nz: int, nlat: int, nlon: int,
 
 
 def apply_transition_wm(tp: Dict, skip, dec, geom,
-                        off: Tuple[int, int, int]):
+                        off: Tuple[int, int, int], *,
+                        z_base=None, nz_global: int = None):
     """skip/dec: (B, nz, nlat, nlon, N, C) rolled wm storage (offset
     ``off``); returns the next step's stage-0 wm entry storage in
     canonical coordinates (pad-row content is junk — the entry block
-    zero-synthesises it away)."""
+    zero-synthesises it away).
+
+    Under tp z-window sharding, skip/dec/bias_field_wm are the LOCAL z
+    shard: pass ``z_base`` (traced scalar — this shard's first global z
+    window, ``axis_index(tp) * nz_local``) and the static ``nz_global``
+    so the surface/top-plane token-type rows land on the right shard;
+    ``off[0]`` must be 0 (the trunk's z halos resolve it in storage)."""
     b, nz, nlat, nlon, n, c = skip.shape
     wz, wh, ww = geom.window
+    z_scalar = z_base is not None
+    if z_scalar:
+        assert off[0] == 0, "z offset must be storage-resolved under tp"
     stitch = off[0] != 0 or off[1] != 0
 
     if stitch:
@@ -211,6 +233,9 @@ def apply_transition_wm(tp: Dict, skip, dec, geom,
                 + [tp["bias_field_wm"]] + mats)
     in_specs = (x_specs + x_specs + [bias_spec]
                 + [fullspec(m.shape) for m in mats])
+    if z_scalar:
+        operands = operands + [jnp.reshape(z_base, (1,)).astype(jnp.int32)]
+        in_specs = in_specs + [pl.BlockSpec(memory_space=pltpu.SMEM)]
 
     out_spec = pl.BlockSpec((1, 1, 1, nlon, n, c),
                             lambda bb, zz, hh: (bb, zz, hh, 0, 0, 0),
@@ -218,7 +243,8 @@ def apply_transition_wm(tp: Dict, skip, dec, geom,
 
     return pl.pallas_call(
         _make_transition_wm_kernel(geom.window, nz, nlat, nlon, c,
-                                   geom.h, off),
+                                   geom.h, off, z_scalar=z_scalar,
+                                   nz_global=nz_global),
         out_shape=jax.ShapeDtypeStruct(skip.shape, skip.dtype),
         grid=(b, nz, nlat),
         in_specs=in_specs,

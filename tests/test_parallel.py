@@ -292,6 +292,41 @@ def test_wm_rollout_shard_map_matches_single_device(problem):
                                    atol=5e-3, rtol=1e-3)
 
 
+def test_wm_rollout_shard_map_tp_matches_single_device(problem):
+    """The all-wm chained rollout under a dp=2/sp=1/tp=2 mesh: z-window
+    tensor parallelism on the SERVING path (round 5) — bias tables stay
+    type-sharded through the scan, the shifted blocks' z component is a
+    ppermute halo, and the wm transition kernel places the surface/top
+    token-type rows by GLOBAL z window (z_base scalar).  sp=1 also pins
+    the canon_l lon-roll component, which must be applied locally when
+    longitude is unsharded (the NOTES r5 latent-bug class)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pangu_tpu.engine.rollout import make_rollout
+
+    params, consts, batch = problem
+    cfg_p = dataclasses.replace(CFG, attn_impl="pallas", block_layout="wm")
+    u = jnp.asarray(batch["upper"])
+    s = jnp.asarray(batch["surface"])
+
+    std = make_rollout(CFG, consts, 2)
+    ref = std(params, u + 0, s + 0)
+
+    mesh = M.build_mesh(MeshConfig(dp=2, sp=1, tp=2))
+    sp = jax.device_put(params, S.param_shardings(mesh, params))
+    bsh = S.batch_shardings(mesh)
+    su = jax.device_put(u, bsh["upper"])
+    ss = jax.device_put(s, bsh["surface"])
+    with jax.set_mesh(mesh), pltpu.force_tpu_interpret_mode():
+        assert pangu.wm_core_mesh(cfg_p) is not None
+        tok = make_rollout(cfg_p, consts, 2, token_space=True)
+        got = tok(sp, su, ss)
+    for x, y in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        assert x.shape == y.shape
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=5e-3, rtol=1e-3)
+
+
 def test_sharded_wm_train_stage_matches_xla(problem):
     """run_stage_train_wm under shard_map (window-major whole-block
     fwd+bwd kernels per (dp, sp) shard, lon shifts as differentiable
