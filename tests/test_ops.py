@@ -36,6 +36,7 @@ def test_reference_sdpa_matches_earth_attention_math():
     np.testing.assert_allclose(np.asarray(out_t), want, atol=1e-5)
 
 
+@pytest.mark.quick
 def test_pallas_kernel_interpret_matches_reference():
     qkv, bias = _mk()
     with pltpu.force_tpu_interpret_mode():
@@ -567,6 +568,7 @@ def test_down_up_sample_fused_match_xla(odd_h):
                                    atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("stage_idx", [0, 1])
 @pytest.mark.parametrize("depth", [2, 4])
 def test_run_stage_wm_matches_xla(stage_idx, depth):
@@ -594,6 +596,7 @@ def test_run_stage_wm_matches_xla(stage_idx, depth):
                                atol=3e-5, rtol=1e-5)
 
 
+@pytest.mark.quick
 def test_window_major_roundtrip():
     from pangu_tpu.ops.earth_block_wm import (from_window_major,
                                               to_window_major)
